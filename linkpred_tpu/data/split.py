@@ -1,0 +1,244 @@
+"""Edge splits and negative samplers.
+
+Re-implements (vectorized, seeded) the behavioral contracts of the three
+sampling schemes in the reference repo:
+
+- `random_split_edges`: upper-triangular dedup + shuffled val/test/train
+  positive split, dense non-edge mask for val/test negatives
+  (reference `TwoWL/utils.py:93-147`).
+- `negative_sampling`: uniform non-edge sampling for train negatives
+  (reference uses torch_geometric.utils.negative_sampling,
+  `TwoWL/operators/datasets.py:176-197`).
+- `shuffled_non_edges`: SEAL's negatives — shuffle *all* non-edges, truncate
+  to the positive count (reference `SEAL/config/data.py:24-26`).
+- `two_hop_negatives`: logistic family's negatives — unconnected pairs with
+  shortest-path distance <= 2 (reference
+  `LogisticRegression_Linkprediction/data/dataset_preparation.py:6-37`,
+  which does an O(N^2) python loop; here it is one boolean matmul).
+- `removable_positive_edges`: logistic family's positives — edges whose
+  sequential removal keeps the graph connected and spanning (reference
+  `dataset_preparation.py:40-59`, which rebuilds a networkx graph per edge;
+  here a single pass with BFS connectivity checks on adjacency sets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeSplit:
+    """Positive/negative edge splits, each an int64 [*, 2] array of pairs."""
+
+    train_pos: np.ndarray
+    val_pos: np.ndarray
+    test_pos: np.ndarray
+    train_neg: np.ndarray
+    val_neg: np.ndarray
+    test_neg: np.ndarray
+    num_nodes: int
+
+
+def _dedup_upper(pairs: np.ndarray) -> np.ndarray:
+    """Upper-triangular dedup: keep each undirected pair once as (lo, hi)."""
+    u, v = pairs[:, 0], pairs[:, 1]
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    n = int(max(lo.max(initial=0), hi.max(initial=0))) + 1
+    key = lo.astype(np.int64) * n + hi
+    _, idx = np.unique(key, return_index=True)
+    idx.sort()
+    return np.stack([lo[idx], hi[idx]], axis=1)
+
+
+def random_split_edges(
+    pairs: np.ndarray,
+    num_nodes: int,
+    val_ratio: float = 0.05,
+    test_ratio: float = 0.1,
+    rng: np.random.Generator | None = None,
+) -> EdgeSplit:
+    """Shuffled positive split + dense-mask val/test negatives + uniform
+    train negatives. Semantics follow reference `TwoWL/utils.py:93-147` and
+    `TwoWL/operators/datasets.py:171-197`."""
+    rng = rng or np.random.default_rng(0)
+    up = _dedup_upper(np.asarray(pairs, dtype=np.int64))
+    m = up.shape[0]
+    n_v = int(np.floor(val_ratio * m))
+    n_t = int(np.floor(test_ratio * m))
+
+    perm = rng.permutation(m)
+    up = up[perm]
+    val_pos, test_pos, train_pos = up[:n_v], up[n_v : n_v + n_t], up[n_v + n_t :]
+
+    # dense upper-triangular non-edge mask (fine for graphs up to ~20k nodes;
+    # larger graphs should use `negative_sampling` below)
+    neg_mask = np.triu(np.ones((num_nodes, num_nodes), dtype=bool), k=1)
+    neg_mask[up[:, 0], up[:, 1]] = False
+    neg_row, neg_col = np.nonzero(neg_mask)
+    sel = rng.permutation(neg_row.shape[0])[: n_v + n_t]
+    neg_row, neg_col = neg_row[sel], neg_col[sel]
+    val_neg = np.stack([neg_row[:n_v], neg_col[:n_v]], axis=1)
+    test_neg = np.stack([neg_row[n_v:], neg_col[n_v:]], axis=1)
+
+    exclude = np.concatenate([up, val_neg, test_neg], axis=0)
+    train_neg = negative_sampling(
+        exclude, num_nodes, num_samples=train_pos.shape[0], rng=rng
+    )
+    return EdgeSplit(
+        train_pos=train_pos.astype(np.int64),
+        val_pos=val_pos.astype(np.int64),
+        test_pos=test_pos.astype(np.int64),
+        train_neg=train_neg,
+        val_neg=val_neg.astype(np.int64),
+        test_neg=test_neg.astype(np.int64),
+        num_nodes=num_nodes,
+    )
+
+
+def negative_sampling(
+    exclude_pairs: np.ndarray,
+    num_nodes: int,
+    num_samples: int,
+    rng: np.random.Generator | None = None,
+    max_rounds: int = 16,
+) -> np.ndarray:
+    """Uniformly sample `num_samples` node pairs (u < v, u != v) that are not
+    in `exclude_pairs` (order-insensitive). Rejection sampling with
+    oversampling rounds; equivalent in distribution to PyG's
+    `negative_sampling` used at reference `TwoWL/operators/datasets.py:176`.
+    """
+    rng = rng or np.random.default_rng(0)
+    ex = _dedup_upper(np.asarray(exclude_pairs, dtype=np.int64))
+    ex_key = set((ex[:, 0].astype(np.int64) * num_nodes + ex[:, 1]).tolist())
+    out = []
+    seen = set()
+    need = num_samples
+    for _ in range(max_rounds):
+        if need <= 0:
+            break
+        cand = rng.integers(0, num_nodes, size=(need * 2 + 16, 2))
+        lo = np.minimum(cand[:, 0], cand[:, 1])
+        hi = np.maximum(cand[:, 0], cand[:, 1])
+        ok = lo != hi
+        lo, hi = lo[ok], hi[ok]
+        keys = lo.astype(np.int64) * num_nodes + hi
+        for k, a, b in zip(keys.tolist(), lo.tolist(), hi.tolist()):
+            if k in ex_key or k in seen:
+                continue
+            seen.add(k)
+            out.append((a, b))
+            if len(out) >= num_samples:
+                break
+        need = num_samples - len(out)
+    if len(out) < num_samples:
+        raise ValueError(
+            f"could not sample {num_samples} negatives from "
+            f"{num_nodes} nodes with {len(ex_key)} excluded pairs"
+        )
+    return np.asarray(out, dtype=np.int64)
+
+
+def shuffled_non_edges(
+    pairs: np.ndarray,
+    num_nodes: int,
+    num_samples: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """All non-edges of the undirected graph, shuffled, truncated to
+    `num_samples` — SEAL's negative sampler (reference
+    `SEAL/config/data.py:24-26`)."""
+    rng = rng or np.random.default_rng(0)
+    adj = np.zeros((num_nodes, num_nodes), dtype=bool)
+    p = np.asarray(pairs, dtype=np.int64)
+    adj[p[:, 0], p[:, 1]] = True
+    adj[p[:, 1], p[:, 0]] = True
+    non = np.triu(~adj, k=1)
+    np.fill_diagonal(non, False)
+    r, c = np.nonzero(non)
+    sel = rng.permutation(r.shape[0])[:num_samples]
+    return np.stack([r[sel], c[sel]], axis=1).astype(np.int64)
+
+
+def two_hop_negatives(pairs: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Unconnected pairs (u < v) whose shortest-path distance is <= 2.
+
+    The reference scans the dense adjacency with a per-pair
+    `nx.shortest_path_length` call (`dataset_preparation.py:22-28`);
+    distance <= 2 for a non-adjacent pair simply means a common neighbor
+    exists, i.e. (A @ A)[u, v] > 0, so this is one boolean matmul.
+    """
+    p = np.asarray(pairs, dtype=np.int64)
+    adj = np.zeros((num_nodes, num_nodes), dtype=np.float32)
+    adj[p[:, 0], p[:, 1]] = 1.0
+    adj[p[:, 1], p[:, 0]] = 1.0
+    two_hop = (adj @ adj) > 0
+    cand = np.triu(two_hop & (adj == 0), k=1)
+    np.fill_diagonal(cand, False)
+    r, c = np.nonzero(cand)
+    return np.stack([r, c], axis=1).astype(np.int64)
+
+
+def removable_positive_edges(pairs: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Indices (into `pairs`) of edges removable one-by-one while keeping the
+    graph connected with all nodes present.
+
+    Matches the sequential semantics of reference
+    `dataset_preparation.py:40-59`: iterate edges in order; drop edge i iff
+    the residual graph (minus all previously dropped edges and minus i) is
+    still connected and spans every node. The kept edges always form a
+    spanning tree of each connected component, so the removable set is the
+    complement of a spanning forest chosen by this greedy order. Implemented
+    with adjacency sets + a BFS connectivity check per candidate edge
+    (O(E * (V + E)) worst case, sub-second at fb-pages-food scale) instead of
+    the reference's per-edge networkx graph rebuild.
+    """
+    p = np.asarray(pairs, dtype=np.int64)
+    adj = [set() for _ in range(num_nodes)]
+    for i, (u, v) in enumerate(p):
+        adj[u].add((v, i))
+        adj[v].add((u, i))
+
+    removable = []
+    for i, (u, v) in enumerate(p):
+        u, v = int(u), int(v)
+        if u == v:
+            # a self-loop never affects connectivity; it is removable iff its
+            # node keeps at least one other edge (else the node would vanish
+            # from the edge-list-defined residual graph)
+            if len(adj[u]) > 1:
+                removable.append(i)
+                adj[u].discard((v, i))
+            continue
+        # BFS from u to v avoiding edge i
+        seen = {u}
+        stack = [u]
+        found = False
+        while stack and not found:
+            x = stack.pop()
+            for y, ei in adj[x]:
+                if ei == i or y in seen:
+                    continue
+                if y == v:
+                    found = True
+                    break
+                seen.add(y)
+                stack.append(y)
+        if found:
+            removable.append(i)
+            adj[u].discard((v, i))
+            adj[v].discard((u, i))
+    return np.asarray(removable, dtype=np.int64)
+
+
+def train_test_split_arrays(
+    n: int, test_ratio: float, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shuffled index split (train_idx, test_idx)."""
+    perm = rng.permutation(n)
+    n_test = int(n * test_ratio)
+    return perm[n_test:], perm[:n_test]

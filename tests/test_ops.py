@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linkpred_tpu.data.graph import Graph
+from linkpred_tpu.ops import segment, spmm, sddmm
+
+
+@pytest.fixture
+def small(rng):
+    n, m = 40, 150
+    u = rng.integers(0, n, size=m)
+    v = rng.integers(0, n, size=m)
+    keep = u != v
+    g = Graph.from_undirected_edges(u[keep], v[keep], num_nodes=n)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    return g, x
+
+
+def dense_ref(g, x, w=None):
+    a = g.dense_adjacency()
+    if w is not None:
+        a = a * 0
+        for e, (s, d) in enumerate(zip(g.src, g.dst)):
+            a[d, s] += w[e]
+        return a @ x
+    # out[i] = sum_{j in N(i)} x[j]; adjacency symmetric
+    return a @ x
+
+
+def test_spmm_coo_matches_dense(small):
+    g, x = small
+    out = spmm.spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(x), g.num_nodes)
+    np.testing.assert_allclose(np.asarray(out), dense_ref(g, x), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_coo_weighted_masked(small, rng):
+    g, x = small
+    w = rng.random(g.num_edges).astype(np.float32)
+    mask = rng.random(g.num_edges) > 0.3
+    out = spmm.spmm_coo(
+        jnp.asarray(g.src),
+        jnp.asarray(g.dst),
+        jnp.asarray(x),
+        g.num_nodes,
+        edge_weight=jnp.asarray(w),
+        mask=jnp.asarray(mask),
+    )
+    ref = dense_ref(g, x, w * mask)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_matches_coo(small):
+    g, x = small
+    out_ell = spmm.spmm_ell(jnp.asarray(g.nbr), jnp.asarray(g.nbr_mask), jnp.asarray(x))
+    # ELL aggregates over out-neighbors of each row; symmetric graph ->
+    # equals COO aggregation by dst.
+    out_coo = spmm.spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(x), g.num_nodes)
+    np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_coo), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_ell_blocked(small):
+    g, x = small
+    a = spmm.spmm_ell(jnp.asarray(g.nbr), jnp.asarray(g.nbr_mask), jnp.asarray(x))
+    b = spmm.spmm_ell_blocked(
+        jnp.asarray(g.nbr), jnp.asarray(g.nbr_mask), jnp.asarray(x), block_rows=7
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_degree(small):
+    g, _ = small
+    d = segment.degree_from_edges(jnp.asarray(g.dst), g.num_nodes)
+    np.testing.assert_array_equal(np.asarray(d), g.degree.astype(np.float32))
+
+
+def test_gcn_aggregate_matches_dense_norm(small):
+    g, x = small
+    out = spmm.gcn_aggregate(
+        jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(x), g.num_nodes
+    )
+    a = g.dense_adjacency() + np.eye(g.num_nodes, dtype=np.float32)
+    dinv = 1.0 / np.sqrt(a.sum(axis=1))
+    ref = (dinv[:, None] * a * dinv[None, :]) @ x
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm(small, rng):
+    g, x = small
+    y = rng.standard_normal(x.shape).astype(np.float32)
+    out = sddmm.sddmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(x), jnp.asarray(y))
+    ref = np.einsum("ef,ef->e", x[g.src], y[g.dst])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_mean(rng):
+    data = rng.standard_normal((20, 4)).astype(np.float32)
+    ids = rng.integers(0, 5, size=20)
+    out = segment.segment_mean(jnp.asarray(data), jnp.asarray(ids), 5)
+    for s in range(5):
+        m = ids == s
+        if m.any():
+            np.testing.assert_allclose(np.asarray(out[s]), data[m].mean(axis=0), rtol=1e-5, atol=1e-5)
