@@ -1,0 +1,122 @@
+"""Model family A: node2vec embeddings + logistic regression.
+
+TPU-native rebuild of the reference pipeline
+`LogisticRegression_Linkprediction/model/link_prediction.py:14-88`:
+
+1. load the fb-pages-food graph,
+2. negatives = unconnected pairs within 2 hops (one boolean matmul instead of
+   the reference's O(N^2) `shortest_path_length` loop),
+3. positives = edges removable without disconnecting the graph,
+4. biased random walks on the residual graph (p=q=1, 50 walks x len 16,
+   `feature_extraction.py:15-16`) via the XLA walk engine,
+5. SGNS word2vec embeddings (gensim-default dim=100/window=10/neg=5/5 epochs,
+   `feature_extraction.py:17`) trained on device,
+6. pair features = sum of endpoint embeddings (`feature_extraction.py:19-23`),
+7. 70/30 split + balanced L2 logistic regression (`build_model.py:10-23`),
+8. test ROC-AUC + `AUC:x Time:y` record (`build_model.py:29-31`).
+
+The reference's double-append of positive rows (`link_prediction.py:53,60`
+calls `data_for_model_training` twice) is a documented quirk we do not
+replicate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from linkpred_tpu.data import io, split as sp
+from linkpred_tpu.models.logistic import fit_logistic, predict_proba
+from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
+from linkpred_tpu.ops.walk import WalkEngine
+from linkpred_tpu.data.graph import Graph
+from linkpred_tpu.utils import metrics, records
+from linkpred_tpu.utils.timer import StepTimer
+
+
+@dataclasses.dataclass(frozen=True)
+class LogisticConfig:
+    num_walks: int = 50
+    walk_length: int = 16
+    p: float = 1.0
+    q: float = 1.0
+    embed: SGNSConfig = SGNSConfig(dim=100, window=10, negatives=5, epochs=5)
+    test_ratio: float = 0.3
+    seed: int = 35  # the reference's train_test_split random_state
+    dataset: str = "fb-pages-food"
+    records_dir: str = records.DEFAULT_RECORDS_DIR
+
+
+def run_logistic(
+    cfg: LogisticConfig = LogisticConfig(),
+    data_dir: Optional[str] = None,
+    verbose: bool = True,
+) -> dict:
+    timer = StepTimer()
+    rng = np.random.default_rng(cfg.seed)
+
+    with timer.span("load"):
+        g, edges = io.load_fb_pages_food(data_dir)
+
+    with timer.span("negatives(2-hop)"):
+        neg_pairs = sp.two_hop_negatives(edges, g.num_nodes)
+
+    with timer.span("positives(removable)"):
+        removable = sp.removable_positive_edges(edges, g.num_nodes)
+        pos_pairs = edges[removable]
+        keep_idx = np.setdiff1d(np.arange(len(edges)), removable)
+        residual = Graph.from_undirected_edges(
+            edges[keep_idx, 0], edges[keep_idx, 1], num_nodes=g.num_nodes
+        )
+
+    with timer.span("walks"):
+        eng = WalkEngine(residual, p=cfg.p, q=cfg.q)
+        walks = eng.walks(
+            jax.random.PRNGKey(cfg.seed), cfg.num_walks, cfg.walk_length
+        )
+
+    with timer.span("sgns"):
+        emb = train_sgns(
+            jax.random.PRNGKey(cfg.seed + 1), walks, g.num_nodes, cfg.embed
+        )
+
+    with timer.span("features"):
+        pairs = np.concatenate([pos_pairs, neg_pairs], axis=0)
+        y = np.concatenate(
+            [np.ones(len(pos_pairs)), np.zeros(len(neg_pairs))]
+        )
+        x = emb[pairs[:, 0]] + emb[pairs[:, 1]]
+
+    t_fit0 = time.perf_counter()
+    with timer.span("fit+predict"):
+        train_idx, test_idx = sp.train_test_split_arrays(
+            len(y), cfg.test_ratio, rng
+        )
+        beta = fit_logistic(x[train_idx], y[train_idx], class_weight="balanced")
+        scores = predict_proba(beta, x[test_idx])
+    fit_seconds = time.perf_counter() - t_fit0
+
+    auc = metrics.roc_auc_score(y[test_idx], scores)
+    fpr, tpr, _ = metrics.roc_curve(y[test_idx], scores)
+    records.write_record(
+        cfg.dataset, "logistic", auc, fit_seconds, cfg.records_dir, append=False
+    )
+    if verbose:
+        print(timer.report())
+        print(
+            f"logistic: {len(pos_pairs)} pos / {len(neg_pairs)} neg pairs, "
+            f"test AUC {auc:.4f} (reference 0.8075)"
+        )
+    return {
+        "auc": auc,
+        "fit_seconds": fit_seconds,
+        "total_seconds": timer.total,
+        "fpr": fpr,
+        "tpr": tpr,
+        "num_pos": len(pos_pairs),
+        "num_neg": len(neg_pairs),
+    }
