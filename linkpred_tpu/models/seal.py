@@ -1,0 +1,251 @@
+"""SEAL DGCNN: batched GCN stack + SortPooling + 1-D convs, in pure JAX.
+
+TPU-native redesign of the reference's TF1 graph (`SEAL/model/gnn.py:22-145`),
+which trains one variable-sized subgraph per `sess.run` (batch size 1,
+thousands of Python<->TF crossings, `gnn.py:172-181`). Here the entire
+dataset is a capacity-padded tensor stack (`linkpred_tpu.data.subgraph`) and
+training runs as one jit-compiled minibatched loop on device:
+
+- 4 graph-conv layers `Z = tanh(D^-1 A~ Z W)`, channels 32/32/32/1
+  (`gnn.py:46-60`; D is diagonal so `D^-1 @ M` is a row scale, and the
+  dense `A~ @ (Z W)` maps straight onto the MXU as a [K,K]x[K,C] batch
+  matmul — no sparse scatter needed at enclosing-subgraph scale).
+- SortPooling (`gnn.py:77-91`): nodes ordered by the 1-channel Z_4 score
+  via `lax.top_k`, truncated/zero-padded to a static `threshold_k` chosen
+  as the `top_k`-th percentile of subgraph sizes. Padded nodes are pushed
+  to the bottom with a -inf score and zeroed after the gather, which
+  reproduces the reference's pad-with-zeros branch.
+- conv1d #1 (width = stride = 96) is algebraically a per-node matmul of the
+  sorted [k, 96] feature rows — implemented as such. conv1d #2 (width 5,
+  stride 1, 16->32) uses `lax.conv_general_dilated`. Dense 128 + dropout
+  0.5 + 2-way softmax head (`gnn.py:103-137`).
+
+Deviations from the reference (documented, deliberate):
+- weights re-initialized once, not every epoch (`gnn.py:170` re-inits inside
+  the epoch loop, making the shipped model effectively one-epoch-trained);
+- dropout actually applied during training (the reference's
+  `if is_train == 1:` on a placeholder is always-true Python, and
+  `tf.layers.dropout` defaults to `training=False`, so it never dropped);
+- the final dense init uses stddev 0.1 like every other layer (the
+  reference leaves `weight_2` at stddev 1.0, `gnn.py:133`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+GRAPH_CONV_CHANNELS = (32, 32, 32, 1)
+CONV1D_1_OUT = 16
+CONV1D_2_OUT = 32
+CONV1D_2_WIDTH = 5
+DENSE_NODES = 128
+DROPOUT_RATE = 0.5
+
+
+class DGCNNParams(NamedTuple):
+    gw: tuple  # 4 graph-conv weights
+    wc1: jnp.ndarray  # [96, 16] sort-pooled per-node projection
+    wc2: jnp.ndarray  # [5, 16, 32] conv1d kernel (WIO)
+    w1: jnp.ndarray
+    b1: jnp.ndarray
+    w2: jnp.ndarray
+    b2: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class DGCNNConfig:
+    feature_dim: int
+    threshold_k: int
+    learning_rate: float = 1e-4
+    batch_size: int = 32
+    epochs: int = 50
+    dropout: float = DROPOUT_RATE
+    seed: int = 0
+
+
+def _trunc_normal(key, shape, stddev=0.1):
+    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_params(key, feature_dim: int, threshold_k: int) -> DGCNNParams:
+    ks = jax.random.split(key, 8)
+    chans = (feature_dim,) + GRAPH_CONV_CHANNELS
+    gw = tuple(
+        _trunc_normal(ks[i], (chans[i], chans[i + 1])) for i in range(4)
+    )
+    total_gc = sum(GRAPH_CONV_CHANNELS[:3])  # 96
+    dense_in = (threshold_k - CONV1D_2_WIDTH + 1) * CONV1D_2_OUT
+    return DGCNNParams(
+        gw=gw,
+        wc1=_trunc_normal(ks[4], (total_gc, CONV1D_1_OUT)),
+        wc2=_trunc_normal(ks[5], (CONV1D_2_WIDTH, CONV1D_1_OUT, CONV1D_2_OUT)),
+        w1=_trunc_normal(ks[6], (dense_in, DENSE_NODES)),
+        b1=jnp.zeros((DENSE_NODES,)),
+        w2=_trunc_normal(ks[7], (DENSE_NODES, 2)),
+        b2=jnp.zeros((2,)),
+    )
+
+
+def graph_conv_layers(params: DGCNNParams, d_inv, a_tilde, x):
+    """The 4-layer GCN stack; returns (concat(Z1..Z3) [B,K,96], Z4 [B,K,1]).
+
+    Exposed separately for per-layer allclose tests against the dense
+    reference math of `gnn.py:46-60`.
+    """
+    zs = []
+    z = x
+    for w in params.gw:
+        z = jnp.tanh(d_inv[:, :, None] * jnp.einsum(
+            "bkj,bjc->bkc", a_tilde, jnp.einsum("bkc,cd->bkd", z, w),
+            preferred_element_type=jnp.float32,
+        ))
+        zs.append(z)
+    return jnp.concatenate(zs[:3], axis=-1), zs[3]
+
+
+def sort_pool(cat, z4, node_mask, threshold_k: int):
+    """SortPooling: order nodes by Z4 score, keep/pad to threshold_k rows."""
+    scores = jnp.where(node_mask, z4[:, :, 0], -jnp.inf)
+    _, idx = jax.lax.top_k(scores, threshold_k)  # [B, k]
+    pooled = jnp.take_along_axis(cat, idx[:, :, None], axis=1)  # [B, k, 96]
+    # rows beyond the real node count are zero (reference pads with zeros)
+    valid = jnp.take_along_axis(node_mask, idx, axis=1)
+    return pooled * valid[:, :, None]
+
+
+def forward(
+    params: DGCNNParams,
+    d_inv,  # [B, K]
+    a_tilde,  # [B, K, K]
+    x,  # [B, K, F]
+    node_mask,  # [B, K]
+    threshold_k: int,
+    dropout_key=None,
+    dropout_rate: float = DROPOUT_RATE,
+):
+    """Batched DGCNN forward -> logits [B, 2]."""
+    cat, z4 = graph_conv_layers(params, d_inv, a_tilde, x)
+    pooled = sort_pool(cat, z4, node_mask, threshold_k)  # [B, k, 96]
+
+    # conv1d(width=stride=96) over the flattened rows == per-node matmul
+    c1 = jnp.einsum("bkc,cd->bkd", pooled, params.wc1)  # [B, k, 16]
+
+    c2 = jax.lax.conv_general_dilated(
+        c1,
+        params.wc2,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # [B, k-4, 32]
+
+    h = c2.reshape(c2.shape[0], -1)
+    h = jax.nn.relu(h @ params.w1 + params.b1)
+    if dropout_key is not None and dropout_rate > 0:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, h.shape)
+        h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    return h @ params.w2 + params.b2
+
+
+def loss_fn(params, d_inv, a_tilde, x, node_mask, y, threshold_k, key, dropout_rate):
+    logits = forward(
+        params, d_inv, a_tilde, x, node_mask, threshold_k, key, dropout_rate
+    )
+    return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+
+@partial(jax.jit, static_argnames=("threshold_k", "dropout_rate", "optimizer"))
+def train_step(
+    params,
+    opt_state,
+    d_inv,
+    a_tilde,
+    x,
+    node_mask,
+    y,
+    key,
+    threshold_k: int,
+    dropout_rate: float,
+    optimizer,
+):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, d_inv, a_tilde, x, node_mask, y, threshold_k, key, dropout_rate
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("threshold_k",))
+def predict_scores(params, d_inv, a_tilde, x, node_mask, threshold_k: int):
+    """Positive-class softmax scores [B] (reference `gnn.py:137,243`)."""
+    logits = forward(params, d_inv, a_tilde, x, node_mask, threshold_k)
+    return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+
+def threshold_from_sizes(sizes: np.ndarray, top_k_percent: float) -> int:
+    """`threshold_k` = the `top_k`-th percentile of subgraph sizes
+    (reference `gnn.py:77-79`), floored at the conv2 width."""
+    k = int(np.percentile(np.asarray(sizes), top_k_percent))
+    return max(k, CONV1D_2_WIDTH)
+
+
+def train_dgcnn(
+    cfg: DGCNNConfig,
+    d_inv: np.ndarray,
+    a_tilde: np.ndarray,
+    x: np.ndarray,
+    node_mask: np.ndarray,
+    y: np.ndarray,
+    eval_every: int = 0,
+    eval_fn=None,
+    verbose: bool = False,
+) -> DGCNNParams:
+    """Minibatched Adam training over the padded subgraph stack."""
+    n = y.shape[0]
+    bs = min(cfg.batch_size, n)
+    steps_per_epoch = max(n // bs, 1)
+    optimizer = optax.adam(cfg.learning_rate)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params = init_params(k_init, cfg.feature_dim, cfg.threshold_k)
+    opt_state = optimizer.init(params)
+
+    d_inv = jnp.asarray(d_inv)
+    a_tilde = jnp.asarray(a_tilde)
+    x = jnp.asarray(x)
+    node_mask = jnp.asarray(node_mask)
+    y = jnp.asarray(y, dtype=jnp.int32)
+
+    rng = np.random.default_rng(cfg.seed)
+    for epoch in range(cfg.epochs):
+        perm = rng.permutation(n)
+        epoch_loss = 0.0
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(perm[s * bs : s * bs + bs])
+            key, k_drop = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params,
+                opt_state,
+                d_inv[idx],
+                a_tilde[idx],
+                x[idx],
+                node_mask[idx],
+                y[idx],
+                k_drop,
+                cfg.threshold_k,
+                cfg.dropout,
+                optimizer,
+            )
+            epoch_loss += float(loss)
+        if verbose:
+            print(f"epoch {epoch}: loss {epoch_loss / steps_per_epoch:.4f}")
+        if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:
+            eval_fn(epoch, params)
+    return params

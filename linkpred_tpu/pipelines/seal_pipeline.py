@@ -1,0 +1,185 @@
+"""Model family B: SEAL — enclosing-subgraph DGCNN link prediction.
+
+TPU-native rebuild of the reference pipeline
+(`SEAL/operators/seal_link_predict.py:14-103`):
+
+1. load edges; negatives = shuffled non-edges truncated to |positives|
+   (`SEAL/config/data.py:10-32`; we do not replicate its header-row edge
+   loss at `data.py:17`),
+2. node2vec embeddings on the train split with negative injection
+   (walks 10 x 80, dim 100, 1 epoch, `data.py:35-78`); nodes unseen by any
+   walk get the average embedding (`data.py:68-76`),
+3. hop = auto via the CN-vs-AA heuristic (`subgraph.py:45-63`),
+4. batched enclosing-subgraph extraction + DRNL tags
+   (`linkpred_tpu.data.subgraph` — one vectorized pass instead of the
+   reference's per-link loop),
+5. GNN inputs (one-hot tags ++ embeddings, A~ = A+I, row-scale D^-1),
+6. 90/10 shuffled split (`SEAL/utils/utils.py:5-31`),
+7. batched DGCNN training + positive-class scoring
+   (`linkpred_tpu.models.seal`),
+8. test ROC-AUC + `AUC:x Time:y` record (`seal_link_predict.py:88-103`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from linkpred_tpu.data import io, split as sp, subgraph as sg
+from linkpred_tpu.data.graph import Graph
+from linkpred_tpu.models import seal
+from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
+from linkpred_tpu.ops.walk import WalkEngine
+from linkpred_tpu.utils import metrics, records
+from linkpred_tpu.utils.timer import StepTimer
+
+
+@dataclasses.dataclass(frozen=True)
+class SEALConfig:
+    test_ratio: float = 0.1
+    dimension: int = 100  # node2vec embedding size
+    hop: str | int = "auto"
+    max_neighbors: int = 100
+    top_k_percent: float = 60.0
+    learning_rate: float = 1e-4
+    epochs: int = 50
+    batch_size: int = 32
+    negative_injection: bool = True
+    seed: int = 0
+    dataset: str = "fb-pages-food"
+    records_dir: str = records.DEFAULT_RECORDS_DIR
+
+
+def learn_embedding(
+    train_pos: np.ndarray,
+    train_neg: np.ndarray,
+    num_nodes: int,
+    cfg: SEALConfig,
+) -> np.ndarray:
+    """node2vec + SGNS on the train graph, negatives injected as walkable
+    edges (reference `SEAL/config/data.py:57-59`). Unvisited nodes get the
+    average embedding (`data.py:68-76`)."""
+    pairs = (
+        np.concatenate([train_pos, train_neg], axis=0)
+        if cfg.negative_injection
+        else train_pos
+    )
+    g = Graph.from_undirected_edges(pairs[:, 0], pairs[:, 1], num_nodes=num_nodes)
+    eng = WalkEngine(g, p=1.0, q=1.0)
+    walks = eng.walks(jax.random.PRNGKey(cfg.seed), num_walks=10, walk_length=80)
+    emb = train_sgns(
+        jax.random.PRNGKey(cfg.seed + 1),
+        walks,
+        num_nodes,
+        SGNSConfig(dim=cfg.dimension, window=10, negatives=5, epochs=1),
+    )
+    # average-fill nodes with no incident walk (isolated in the walk graph)
+    visited = np.zeros(num_nodes, dtype=bool)
+    visited[np.unique(np.asarray(walks))] = True
+    visited &= np.asarray(g.degree) > 0
+    if visited.any() and (~visited).any():
+        emb[~visited] = emb[visited].mean(axis=0)
+    return emb
+
+
+def run_seal(
+    cfg: SEALConfig = SEALConfig(),
+    data_dir: Optional[str] = None,
+    verbose: bool = True,
+) -> dict:
+    timer = StepTimer()
+    rng = np.random.default_rng(cfg.seed)
+    t_train0 = time.perf_counter()
+
+    with timer.span("load+negatives"):
+        g, edges = io.load_fb_pages_food(data_dir)
+        positive = sp._dedup_upper(edges)
+        positive = positive[rng.permutation(len(positive))]
+        negative = sp.shuffled_non_edges(
+            positive, g.num_nodes, num_samples=len(positive), rng=rng
+        )
+        test_size = int(len(positive) * cfg.test_ratio)
+        train_pos, test_pos = positive[:-test_size], positive[-test_size:]
+        train_neg, test_neg = negative[:-test_size], negative[-test_size:]
+
+    with timer.span("embedding"):
+        emb = learn_embedding(train_pos, train_neg, g.num_nodes, cfg)
+
+    with timer.span("subgraphs+drnl"):
+        adj = np.zeros((g.num_nodes, g.num_nodes), dtype=bool)
+        adj[train_pos[:, 0], train_pos[:, 1]] = True
+        adj[train_pos[:, 1], train_pos[:, 0]] = True
+        hop = (
+            sg.auto_hop(adj, test_pos, test_neg)
+            if cfg.hop == "auto"
+            else int(cfg.hop)
+        )
+        # order: negatives (label 0) then positives (label 1), like the
+        # reference's enumerate([negative, positive]) loop (subgraph.py:75)
+        pairs = np.concatenate([negative, positive], axis=0)
+        labels = np.concatenate(
+            [np.zeros(len(negative), np.int32), np.ones(len(positive), np.int32)]
+        )
+        batch = sg.build_subgraph_batch(
+            pairs, adj, hop, max_neighbors=cfg.max_neighbors, rng=rng
+        )
+
+    with timer.span("gnn inputs"):
+        d_inv, a_tilde, x = sg.gnn_inputs(batch, emb)
+        perm = rng.permutation(len(labels))
+        n_train = int(len(labels) * 0.9)
+        tr, te = perm[:n_train], perm[n_train:]
+        threshold_k = seal.threshold_from_sizes(batch.sizes, cfg.top_k_percent)
+
+    with timer.span("train"):
+        mcfg = seal.DGCNNConfig(
+            feature_dim=x.shape[2],
+            threshold_k=threshold_k,
+            learning_rate=cfg.learning_rate,
+            batch_size=cfg.batch_size,
+            epochs=cfg.epochs,
+            seed=cfg.seed,
+        )
+        params = seal.train_dgcnn(
+            mcfg,
+            d_inv[tr],
+            a_tilde[tr],
+            x[tr],
+            batch.node_mask[tr],
+            labels[tr],
+            verbose=verbose,
+        )
+    train_seconds = time.perf_counter() - t_train0
+
+    with timer.span("predict"):
+        scores = np.asarray(
+            seal.predict_scores(
+                params, d_inv[te], a_tilde[te], x[te],
+                batch.node_mask[te], threshold_k,
+            )
+        )
+        auc = metrics.roc_auc_score(labels[te], scores)
+        acc = metrics.accuracy(labels[te], (scores > 0.5).astype(np.int32))
+
+    records.write_record(
+        cfg.dataset, "seal", auc, train_seconds, cfg.records_dir, append=False
+    )
+    if verbose:
+        print(timer.report())
+        print(
+            f"seal: hop={hop} threshold_k={threshold_k} "
+            f"test AUC {auc:.4f} acc {acc:.4f} (reference 0.8661)"
+        )
+    return {
+        "auc": auc,
+        "accuracy": acc,
+        "hop": hop,
+        "threshold_k": threshold_k,
+        "train_seconds": train_seconds,
+        "total_seconds": timer.total,
+        "params": params,
+    }
