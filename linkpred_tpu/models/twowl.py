@@ -1,0 +1,285 @@
+"""LocalWLNet — the 2-WL edge-level GNN — in pure JAX, static shapes.
+
+TPU-native redesign of the reference PyTorch/PyG model
+(`TwoWL/model/model.py:8-96`) and its training step (`TwoWL/model/train.py`):
+
+- degree-indexed `nn.Embedding` + GraphNorm + dropout (`model.py:53-55`),
+- `depth1` GCNConv+GraphNorm 1-WL layers over the node graph
+  (`model.py:57-59`),
+- edge representation `x[u] * x[v]` for every row of `pos1`
+  (`model.py:75`),
+- `depth2` *pairs* of GCNConv+GraphNorm stacks over the ei2 edge-pair graph
+  and its parity-reverse, summed (`model.py:61-64,76-77`),
+- select the target rows, multiply the two directions of each undirected
+  pair (even row * odd row), linear head -> one logit per pair
+  (`model.py:78-84`).
+
+GCNConv here is PyG-semantics symmetric normalization with self-loops,
+implemented as masked segment-sums (`linkpred_tpu.ops.segment`) — the TPU
+equivalent of torch-scatter. GraphNorm follows PyG:
+`weight * (x - mean_scale*mean) / sqrt(E[(x - mean_scale*mean)^2] + eps) + bias`.
+
+The reference's `sample_block` (`TwoWL/utils.py:60-68`) *rebuilds* the
+message graph and ei2 without the sampled target edges every step —
+data-dependent shapes. Here `sample_block_masks` produces boolean masks
+over the static arrays instead: removed edges get weight 0, degrees are
+recomputed by masked segment-sum, and ei2 columns sourced at a removed
+edge are masked off. The jit-compiled step never changes shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from linkpred_tpu.ops.segment import gcn_norm_coefficients, segment_sum
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoWLConfig:
+    """Hyperparameters; defaults are the reference's published best trial
+    (`logs.json`: lr 0.01, depths 2/2, channels 24/16, dropouts
+    .5/.6/.5/.2/.4/.1, act0 true, act1 false)."""
+
+    max_degree: int
+    channels_1wl: int = 24
+    channels_2wl: int = 16
+    depth1: int = 2
+    depth2: int = 2
+    dp_emb: float = 0.5
+    dp_1wl0: float = 0.2
+    dp_1wl1: float = 0.4
+    dp_2wl: float = 0.1
+    act0: bool = True
+    act1: bool = True
+    learning_rate: float = 0.01
+    eps: float = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+
+def _glorot(key, shape):
+    lim = float(np.sqrt(6.0 / (shape[0] + shape[1])))
+    return jax.random.uniform(key, shape, jnp.float32, -lim, lim)
+
+
+def _gn_params(dim):
+    return {
+        "weight": jnp.ones((dim,)),
+        "bias": jnp.zeros((dim,)),
+        "mean_scale": jnp.ones((dim,)),
+    }
+
+
+def init_params(key, cfg: TwoWLConfig):
+    n_keys = 2 + cfg.depth1 + 2 * cfg.depth2 + 1
+    ks = iter(jax.random.split(key, n_keys))
+    params = {
+        "emb": jax.random.normal(next(ks), (cfg.max_degree + 1, cfg.channels_1wl)),
+        "emb_gn": _gn_params(cfg.channels_1wl),
+    }
+    dims = [cfg.channels_1wl] * cfg.depth1 + [cfg.channels_2wl]
+    params["conv1"] = [
+        {
+            "w": _glorot(next(ks), (dims[i], dims[i + 1])),
+            "b": jnp.zeros((dims[i + 1],)),
+            "gn": _gn_params(dims[i + 1]),
+        }
+        for i in range(cfg.depth1)
+    ]
+    params["conv2"] = [
+        {
+            "w": _glorot(next(ks), (cfg.channels_2wl, cfg.channels_2wl)),
+            "b": jnp.zeros((cfg.channels_2wl,)),
+            "gn": _gn_params(cfg.channels_2wl),
+        }
+        for _ in range(cfg.depth2)
+    ]
+    params["conv2r"] = [
+        {
+            "w": _glorot(next(ks), (cfg.channels_2wl, cfg.channels_2wl)),
+            "b": jnp.zeros((cfg.channels_2wl,)),
+            "gn": _gn_params(cfg.channels_2wl),
+        }
+        for _ in range(cfg.depth2)
+    ]
+    params["pred_w"] = _glorot(next(ks), (cfg.channels_2wl, 1))
+    params["pred_b"] = jnp.zeros((1,))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+
+def graph_norm(p, x, eps: float = 1e-5):
+    mean = x.mean(axis=0, keepdims=True)
+    centered = x - p["mean_scale"] * mean
+    var = (centered**2).mean(axis=0, keepdims=True)
+    return p["weight"] * centered * jax.lax.rsqrt(var + eps) + p["bias"]
+
+
+def gcn_conv(p, x, src, dst, num_rows: int, mask=None):
+    """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop)."""
+    h = x @ p["w"]
+    coeff, self_coeff = gcn_norm_coefficients(src, dst, num_rows, mask)
+    agg = segment_sum(h[src] * coeff[:, None], dst, num_rows)
+    return agg + self_coeff[:, None] * h + p["b"]
+
+
+def _dropout(key, x, rate):
+    if rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def forward(
+    params,
+    cfg: TwoWLConfig,
+    node_deg,  # [N] int32 degree feature (masked-graph degrees in training)
+    msg_src, msg_dst,  # [Em]
+    msg_mask,  # [Em] bool (False on removed batch positives)
+    pos1_src, pos1_dst,  # [R]
+    ei2_a, ei2_b,  # [S]
+    ei2_mask,  # [S] bool
+    sel_idx,  # [B] doubled row indices into pos1 (even count)
+    key=None,  # None => eval (no dropout)
+):
+    """Returns one logit per undirected selected pair: [B // 2]."""
+    train = key is not None
+    n_drops = 1 + cfg.depth1 + 2 * cfg.depth2
+    dks = iter(jax.random.split(key, n_drops)) if train else None
+
+    def drop(x, rate):
+        return _dropout(next(dks), x, rate) if train else x
+
+    N = node_deg.shape[0]
+    R = pos1_src.shape[0]
+
+    x = params["emb"][node_deg]
+    x = graph_norm(params["emb_gn"], x, cfg.eps)
+    x = drop(x, cfg.dp_emb)
+
+    for i, layer in enumerate(params["conv1"]):
+        x = gcn_conv(layer, x, msg_src, msg_dst, N, msg_mask)
+        x = graph_norm(layer["gn"], x, cfg.eps)
+        last = i == cfg.depth1 - 1
+        x = drop(x, cfg.dp_1wl1 if last else cfg.dp_1wl0)
+        if (cfg.act1 if last else cfg.act0):
+            x = jax.nn.relu(x)
+
+    e = x[pos1_src] * x[pos1_dst]  # [R, ch2]
+
+    # parity-reverse convention: an edge-row's partner is index XOR 1
+    a_rev = ei2_a ^ 1
+    b_rev = ei2_b ^ 1
+    for i in range(cfg.depth2):
+        def branch(layer, src, dst):
+            h = gcn_conv(layer, e, src, dst, R, ei2_mask)
+            h = graph_norm(layer["gn"], h, cfg.eps)
+            h = drop(h, cfg.dp_2wl)
+            return jax.nn.relu(h)
+
+        e = branch(params["conv2"][i], a_rev, ei2_b) + branch(
+            params["conv2r"][i], ei2_a, b_rev
+        )
+
+    sel = e[sel_idx]  # [B, ch2]
+    paired = sel[0::2] * sel[1::2]  # the two directions of each pair
+    return (paired @ params["pred_w"] + params["pred_b"])[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# sample_block as mask arithmetic + train/eval steps
+# ---------------------------------------------------------------------------
+
+
+def double_index(ids: jnp.ndarray) -> jnp.ndarray:
+    """Pair ids -> interleaved doubled row ids [2P] (reference
+    `double(..., for_index=True)`, `utils.py:86-89`)."""
+    return jnp.stack([2 * ids, 2 * ids + 1], axis=1).reshape(-1)
+
+
+def sample_block_masks(pos_ids, num_msg: int, ei2_a, ei2_mask):
+    """Masks implementing reference `sample_block` (`utils.py:60-68`):
+    remove the sampled positive pairs' doubled edges from the message graph
+    and mask ei2 columns sourced at a removed edge. Degrees are recomputed
+    by the caller with a masked segment-sum."""
+    removed = jnp.zeros((num_msg,), dtype=bool).at[double_index(pos_ids)].set(True)
+    return ~removed, ei2_mask & ~removed[ei2_a]
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "num_nodes"))
+def train_step(
+    params,
+    opt_state,
+    key,
+    pos_ids,  # [P] sampled train-pos pair ids
+    neg_ids,  # [P] sampled train-neg pair ids
+    msg_src, msg_dst,
+    pos1_src, pos1_dst,
+    ei2_a, ei2_b, ei2_mask,
+    cfg: TwoWLConfig,
+    optimizer,
+    num_nodes: int,
+):
+    num_msg = msg_src.shape[0]
+    idx1 = double_index(pos_ids)
+    idx2 = double_index(neg_ids) + num_msg
+    removed = jnp.zeros((num_msg,), dtype=bool).at[idx1].set(True)
+    msg_mask = ~removed
+    ei2_m = ei2_mask & ~removed[ei2_a]
+    deg = segment_sum(
+        msg_mask.astype(jnp.int32), msg_dst, num_nodes
+    ).astype(jnp.int32)
+
+    sel = jnp.concatenate([idx1, idx2])
+    y = jnp.concatenate(
+        [jnp.ones_like(pos_ids, dtype=jnp.float32),
+         jnp.zeros_like(neg_ids, dtype=jnp.float32)]
+    )
+
+    def loss_fn(p):
+        logits = forward(
+            p, cfg, deg, msg_src, msg_dst, msg_mask,
+            pos1_src, pos1_dst, ei2_a, ei2_b, ei2_m, sel, key,
+        )
+        return optax.sigmoid_binary_cross_entropy(logits, y).mean(), logits
+
+    (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, logits, y
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_nodes"))
+def eval_scores(
+    params,
+    node_deg,
+    msg_src, msg_dst,
+    pos1_src, pos1_dst,
+    ei2_a, ei2_b, ei2_mask,
+    cfg: TwoWLConfig,
+    num_nodes: int,
+):
+    """Scores for every prediction pair of a split (rows after the message
+    block), matching reference `test` (`train.py:50-68`)."""
+    num_msg = msg_src.shape[0]
+    num_pred = pos1_src.shape[0] - num_msg
+    msg_mask = jnp.ones((num_msg,), dtype=bool)
+    sel = num_msg + jnp.arange(num_pred, dtype=jnp.int32)
+    logits = forward(
+        params, cfg, node_deg, msg_src, msg_dst, msg_mask,
+        pos1_src, pos1_dst, ei2_a, ei2_b, ei2_mask, sel, None,
+    )
+    return jax.nn.sigmoid(logits)

@@ -1,0 +1,189 @@
+"""Tests for the TwoWL family: doubled-edge convention, ei2 construction,
+mask-based sample_block, GCNConv numerics, and the training loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from linkpred_tpu.data import twowl as dt
+from linkpred_tpu.models import twowl as m
+
+
+class TestDoubling:
+    def test_interleaved(self):
+        p = np.array([[0, 1], [2, 3]])
+        d = dt.double_pairs(p)
+        np.testing.assert_array_equal(d, [[0, 1], [1, 0], [2, 3], [3, 2]])
+
+    def test_partner_is_xor1(self):
+        d = dt.double_pairs(np.array([[4, 7], [1, 9]]))
+        for e in range(len(d)):
+            np.testing.assert_array_equal(d[e], d[e ^ 1][::-1])
+
+    def test_double_index(self):
+        ids = jnp.asarray([0, 3])
+        np.testing.assert_array_equal(np.asarray(m.double_index(ids)), [0, 1, 6, 7])
+
+
+def brute_ei2(n, msg, pred):
+    """Oracle matching reference get_ei2 (`TwoWL/utils.py:36-45`)."""
+    allE = np.concatenate([msg, pred], axis=0)
+    out = []
+    for i in range(n):
+        a_idx = [a for a in range(len(msg)) if msg[a, 1] == i]
+        b_idx = [b for b in range(len(allE)) if allE[b, 0] == i]
+        for a in a_idx:
+            for b in b_idx:
+                out.append((a, b))
+    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+
+
+class TestEi2:
+    def test_matches_bruteforce(self, rng):
+        n = 12
+        msg = dt.double_pairs(
+            np.stack([rng.integers(0, n, 15), rng.integers(0, n, 15)], axis=1)
+        )
+        keep = msg[0::2, 0] != msg[0::2, 1]
+        msg = dt.double_pairs(msg[0::2][keep])
+        pred = dt.double_pairs(
+            np.stack([rng.integers(0, n, 6), rng.integers(0, n, 6)], axis=1)
+        )
+        got = dt.build_ei2(n, msg, pred)
+        expect = brute_ei2(n, msg, pred)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_sources_are_message_edges(self, rng):
+        n = 8
+        msg = dt.double_pairs(np.array([[0, 1], [1, 2], [2, 3]]))
+        pred = dt.double_pairs(np.array([[0, 3]]))
+        ei2 = dt.build_ei2(n, msg, pred)
+        assert (ei2[:, 0] < len(msg)).all()
+        # every column shares a node: dst(a) == src(b)
+        allE = np.concatenate([msg, pred], axis=0)
+        np.testing.assert_array_equal(msg[ei2[:, 0], 1], allE[ei2[:, 1], 0])
+
+
+class TestSampleBlock:
+    def test_masks(self):
+        num_msg = 8  # 4 pairs
+        ei2_a = jnp.asarray([0, 1, 2, 4, 6, 0])
+        ei2_mask = jnp.asarray([True] * 5 + [False])
+        msg_mask, ei2_m = m.sample_block_masks(
+            jnp.asarray([0]), num_msg, ei2_a, ei2_mask
+        )
+        np.testing.assert_array_equal(
+            np.asarray(msg_mask), [False, False, True, True, True, True, True, True]
+        )
+        # columns sourced at edges 0/1 are masked; padding stays masked
+        np.testing.assert_array_equal(
+            np.asarray(ei2_m), [False, False, True, True, True, False]
+        )
+
+
+class TestGCNConv:
+    def test_matches_dense_pyg_norm(self, rng):
+        """gcn_conv == D^-1/2 (A + I) D^-1/2 X W + b computed densely."""
+        n, f, o = 7, 5, 4
+        src = jnp.asarray([0, 1, 2, 3, 4, 5, 1, 2])
+        dst = jnp.asarray([1, 2, 3, 4, 5, 6, 0, 0])
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        p = {
+            "w": jnp.asarray(rng.standard_normal((f, o)).astype(np.float32)),
+            "b": jnp.asarray(rng.standard_normal(o).astype(np.float32)),
+        }
+        out = np.asarray(m.gcn_conv(p, x, src, dst, n))
+        a = np.zeros((n, n), dtype=np.float32)
+        a[np.asarray(src), np.asarray(dst)] = 1.0
+        deg = a.sum(axis=0) + 1.0  # in-degree by dst + self loop
+        dinv = 1.0 / np.sqrt(deg)
+        h = np.asarray(x) @ np.asarray(p["w"])
+        expect = (dinv[:, None] * (a.T + np.eye(n)) * dinv[None, :]) @ h + np.asarray(p["b"])
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+    def test_mask_removes_edges(self, rng):
+        n, f, o = 5, 3, 3
+        src = jnp.asarray([0, 1, 2, 3])
+        dst = jnp.asarray([1, 2, 3, 4])
+        mask = jnp.asarray([True, False, True, True])
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        p = {"w": jnp.eye(f), "b": jnp.zeros(f)}
+        out_masked = np.asarray(m.gcn_conv(p, x, src, dst, n, mask))
+        out_sub = np.asarray(
+            m.gcn_conv(p, x, src[jnp.asarray([0, 2, 3])], dst[jnp.asarray([0, 2, 3])], n)
+        )
+        np.testing.assert_allclose(out_masked, out_sub, rtol=1e-6)
+
+
+class TestGraphNorm:
+    def test_normalizes(self, rng):
+        x = jnp.asarray(rng.standard_normal((50, 4)).astype(np.float32) * 3 + 2)
+        p = {"weight": jnp.ones(4), "bias": jnp.zeros(4), "mean_scale": jnp.ones(4)}
+        out = np.asarray(m.graph_norm(p, x))
+        np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)
+
+
+@pytest.fixture(scope="module")
+def toy_data():
+    rng = np.random.default_rng(7)
+    n = 30
+    # random connected-ish graph
+    extra = np.stack([rng.integers(0, n, 80), rng.integers(0, n, 80)], axis=1)
+    chain = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    pairs = np.concatenate([chain, extra], axis=0)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    return dt.build_twowl_data(pairs, n, rng=rng, ei2_bucket=256)
+
+
+class TestEndToEnd:
+    def test_forward_and_eval_shapes(self, toy_data):
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        scores = np.asarray(
+            m.eval_scores(
+                params, jnp.asarray(d.node_deg),
+                jnp.asarray(d.test.msg[:, 0]), jnp.asarray(d.test.msg[:, 1]),
+                jnp.asarray(d.test.pos1[:, 0]), jnp.asarray(d.test.pos1[:, 1]),
+                jnp.asarray(d.test.ei2[:, 0]), jnp.asarray(d.test.ei2[:, 1]),
+                jnp.asarray(d.test.ei2_mask),
+                cfg=cfg, num_nodes=d.num_nodes,
+            )
+        )
+        assert scores.shape == (len(d.test.y),)
+        assert ((scores >= 0) & (scores <= 1)).all()
+
+    def test_train_step_runs_and_learns(self, toy_data):
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1,
+                            dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0, dp_2wl=0.0,
+                            learning_rate=0.02)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        optimizer = optax.adam(cfg.learning_rate)
+        opt_state = optimizer.init(params)
+        trn = d.train
+        args = (
+            jnp.asarray(trn.msg[:, 0]), jnp.asarray(trn.msg[:, 1]),
+            jnp.asarray(trn.pos1[:, 0]), jnp.asarray(trn.pos1[:, 1]),
+            jnp.asarray(trn.ei2[:, 0]), jnp.asarray(trn.ei2[:, 1]),
+            jnp.asarray(trn.ei2_mask),
+        )
+        P = min(8, trn.num_msg // 2, len(trn.pred) // 2)
+        rng = np.random.default_rng(0)
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(30):
+            pos = jnp.asarray(rng.permutation(trn.num_msg // 2)[:P].astype(np.int32))
+            neg = jnp.asarray(rng.permutation(len(trn.pred) // 2)[:P].astype(np.int32))
+            key, k = jax.random.split(key)
+            params, opt_state, loss, logits, y = m.train_step(
+                params, opt_state, k, pos, neg, *args,
+                cfg=cfg, optimizer=optimizer, num_nodes=d.num_nodes,
+            )
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
