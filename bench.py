@@ -1,0 +1,65 @@
+"""Headline benchmark: TwoWL training wall-clock vs the reference.
+
+Runs the flagship family (TwoWL / LocalWLNet, the reference's best-AUC
+model) through one full early-stopped training routine (1000 epochs max) on
+fb-pages-food with the reference's published best hyperparameters
+(`logs.json`: lr 0.01, depths 2/2, channels 24/16), and reports wall
+seconds. Baseline: the reference's per-trial training time on CPU,
+mean ~133.4 s (`assets/time_twowl.txt`, BASELINE.md). `vs_baseline` is the
+speedup factor (baseline_seconds / ours).
+
+Prints ONE JSON line:
+  {"metric": "twowl_train_wall_seconds", "value": <s>, "unit": "s",
+   "vs_baseline": <speedup>, ...extra diagnostic fields}
+"""
+
+import json
+import time
+
+REFERENCE_TRAIN_SECONDS = 133.4  # mean per-trial, assets/time_twowl.txt
+REFERENCE_BEST_AUC = 0.8947
+
+
+def main():
+    import numpy as np
+
+    from linkpred_tpu.data import io
+    from linkpred_tpu.data.twowl import build_twowl_data
+    from linkpred_tpu.models import twowl as m
+    from linkpred_tpu.pipelines.twowl_pipeline import (
+        TwoWLRunConfig,
+        train_routine,
+    )
+
+    _, edges = io.load_fb_pages_food()
+    n = int(edges.max()) + 1
+    data = build_twowl_data(edges, n, rng=np.random.default_rng(0))
+    cfg = m.TwoWLConfig(
+        max_degree=data.max_degree,
+        channels_1wl=24, channels_2wl=16, depth1=2, depth2=2,
+        dp_emb=0.5, dp_1wl0=0.2, dp_1wl1=0.4, dp_2wl=0.1,
+        act0=True, act1=False, learning_rate=0.01,
+    )
+    # warm-up: compile the train/eval steps out of the timed region
+    warm = train_routine(data, cfg, TwoWLRunConfig(epochs=2), verbose=False)
+
+    t0 = time.perf_counter()
+    res = train_routine(
+        data, cfg, TwoWLRunConfig(epochs=1000, early_stop=800), verbose=False
+    )
+    seconds = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "twowl_train_wall_seconds",
+        "value": round(seconds, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_TRAIN_SECONDS / seconds, 2),
+        "test_auc": round(float(res["test_auc"]), 4),
+        "best_val_auc": round(float(res["best_val"]), 4),
+        "reference_seconds": REFERENCE_TRAIN_SECONDS,
+        "reference_best_auc": REFERENCE_BEST_AUC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Command-line interface — the framework's user surface.
+
+Replaces the reference's Streamlit app (`app.py`, `pages/🛠️Model.py`): the
+sidebar radio + RUN button become subcommands, the Compare bar chart becomes
+a table, and all artifacts (record files, logs.json, fpr/tpr.json) keep the
+reference formats so its tooling can parse our outputs.
+
+    python -m linkpred_tpu.cli logistic          # family A train+eval
+    python -m linkpred_tpu.cli seal              # family B train+eval
+    python -m linkpred_tpu.cli twowl             # family C sweep (10 trials)
+    python -m linkpred_tpu.cli compare           # read records, print table
+    python -m linkpred_tpu.cli node2vec --input graph.edgelist --output out.emb
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_logistic(args):
+    from linkpred_tpu.pipelines.logistic_pipeline import LogisticConfig, run_logistic
+
+    res = run_logistic(LogisticConfig(seed=args.seed), verbose=not args.quiet)
+    print(f"AUC:{res['auc']:.4f}   Time:{res['fit_seconds']:.4f}")
+
+
+def _cmd_seal(args):
+    from linkpred_tpu.pipelines.seal_pipeline import SEALConfig, run_seal
+
+    res = run_seal(
+        SEALConfig(seed=args.seed, epochs=args.epochs), verbose=not args.quiet
+    )
+    print(f"AUC:{res['auc']:.4f}   Time:{res['train_seconds']:.4f}")
+
+
+def _cmd_twowl(args):
+    from linkpred_tpu.pipelines.twowl_pipeline import TwoWLRunConfig, run_twowl
+
+    res = run_twowl(
+        TwoWLRunConfig(seed=args.seed, epochs=args.epochs),
+        n_trials=args.trials,
+        verbose=not args.quiet,
+    )
+    print(f"AUC:{res['test_auc']:.4f}   (best of {args.trials} trials)")
+
+
+def _cmd_compare(args):
+    """The Compare view (`pages/🛠️Model.py:51-70`) as a table."""
+    from linkpred_tpu.utils import records
+
+    rows = []
+    for family in ("logistic", "seal", "twowl"):
+        best = records.best_record(args.dataset, family, args.records_dir)
+        rows.append((family, best))
+    print(f"{'family':<10} {'best AUC':>9} {'time (s)':>9}")
+    for family, best in rows:
+        if best is None:
+            print(f"{family:<10} {'—':>9} {'—':>9}")
+        else:
+            print(f"{family:<10} {best[0]:>9.4f} {best[1]:>9.4f}")
+
+
+def _cmd_node2vec(args):
+    """Standalone node2vec CLI — the equivalent of the reference's
+    `node2vec/src/main.py` (walk + embed + save .emb)."""
+    import jax
+    import numpy as np
+
+    from linkpred_tpu.data.io import load_edgelist
+    from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
+    from linkpred_tpu.ops.walk import WalkEngine
+
+    g = load_edgelist(args.input)
+    eng = WalkEngine(g, p=args.p, q=args.q)
+    walks = eng.walks(jax.random.PRNGKey(args.seed), args.num_walks, args.walk_length)
+    emb = train_sgns(
+        jax.random.PRNGKey(args.seed + 1), walks, g.num_nodes,
+        SGNSConfig(dim=args.dimensions, window=args.window_size,
+                   epochs=args.iter),
+    )
+    with open(args.output, "w") as f:
+        f.write(f"{g.num_nodes} {args.dimensions}\n")
+        for i in range(g.num_nodes):
+            vec = " ".join(f"{v:.6f}" for v in emb[i])
+            f.write(f"{i + 1} {vec}\n")  # 1-based ids like the karate demo
+    print(f"wrote {g.num_nodes} x {args.dimensions} embeddings to {args.output}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="linkpred_tpu", description=__doc__)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("logistic", help="node2vec + logistic regression")
+
+    ps = sub.add_parser("seal", help="SEAL enclosing-subgraph DGCNN")
+    ps.add_argument("--epochs", type=int, default=50)
+
+    pt = sub.add_parser("twowl", help="TwoWL 2-WL GNN with hyperparameter sweep")
+    pt.add_argument("--epochs", type=int, default=1000)
+    pt.add_argument("--trials", type=int, default=10)
+
+    pc = sub.add_parser("compare", help="compare best records per family")
+    pc.add_argument("--dataset", default="fb-pages-food")
+    pc.add_argument("--records-dir", default="records_auc")
+
+    pn = sub.add_parser("node2vec", help="standalone node2vec embedding CLI")
+    pn.add_argument("--input", required=True)
+    pn.add_argument("--output", required=True)
+    pn.add_argument("--dimensions", type=int, default=128)
+    pn.add_argument("--walk-length", type=int, default=80)
+    pn.add_argument("--num-walks", type=int, default=10)
+    pn.add_argument("--window-size", type=int, default=10)
+    pn.add_argument("--iter", type=int, default=1)
+    pn.add_argument("--p", type=float, default=1.0)
+    pn.add_argument("--q", type=float, default=1.0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cmd = {
+        "logistic": _cmd_logistic,
+        "seal": _cmd_seal,
+        "twowl": _cmd_twowl,
+        "compare": _cmd_compare,
+        "node2vec": _cmd_node2vec,
+    }[args.cmd]
+    cmd(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+"""Mesh-parallel training steps for the model families.
+
+Two orthogonal axes (SURVEY.md §2.7 consequence table):
+
+- **SEAL**: pure data parallelism — the padded subgraph stack is sharded
+  over the whole mesh on the batch dimension; parameters stay replicated
+  and XLA inserts the gradient `psum` (GSPMD). This is the TPU version of
+  "data-parallel subgraph training" the reference never had (its trainer
+  feeds one subgraph per `sess.run`, `SEAL/model/gnn.py:172-181`).
+- **TwoWL**: the heavy arrays are the ei2 edge-pair columns; they are
+  sharded over the ``edge`` axis while the (small) node/edge-row states
+  stay replicated, so the 2-WL segment-sums become partial sums + psum —
+  edge partitioning with collective combine.
+
+Both helpers produce placed (device_put) inputs and call the family's
+existing jit-compiled step — the single-chip and multi-chip code paths are
+the same traced function, only shardings differ.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _put(tree: Any, sharding: NamedSharding):
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_seal_batch(mesh: Mesh, d_inv, a_tilde, x, node_mask, y):
+    """Shard the subgraph-batch axis over every mesh axis (full DP)."""
+    batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return tuple(
+        jax.device_put(a, batch_sharding) for a in (d_inv, a_tilde, x, node_mask, y)
+    )
+
+
+def replicate(mesh: Mesh, tree: Any):
+    return _put(tree, NamedSharding(mesh, P()))
+
+
+def shard_twowl_split(mesh: Mesh, split_arrays: dict):
+    """Place a TwoWL split on the mesh: ei2 columns sharded over ``edge``,
+    everything else replicated (node count and edge-row count are small
+    relative to the ei2 cartesian products)."""
+    edge_sharding = NamedSharding(mesh, P("edge"))
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in split_arrays.items():
+        if k.startswith("ei2"):
+            out[k] = jax.device_put(v, edge_sharding)
+        else:
+            out[k] = jax.device_put(v, repl)
+    return out
