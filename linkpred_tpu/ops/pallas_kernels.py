@@ -1,0 +1,107 @@
+"""Pallas TPU kernels for the hot aggregation ops.
+
+Strategy: on TPU, scatter/gather is the enemy and the MXU is near-free, so
+the ELL-layout SpMM is reformulated as **block-dense one-hot matmul**: for a
+block of rows, the padded neighbor lists `nbr[i, d]` are expanded in-VMEM to
+a dense {0,1} block-adjacency via an iota-compare (no host densification,
+no HBM traffic beyond the int32 neighbor lists), then multiplied against
+the feature matrix on the MXU. For graphs up to a few tens of thousands of
+nodes — the regime of every reference workload — this turns the reference's
+torch-scatter/torch-sparse aggregation (`requirements.txt:18-19`) into pure
+systolic-array work.
+
+The kernel tiles rows (grid dim 0) and feature columns (grid dim 1); the
+feature operand streams through VMEM one [N, TF] stripe at a time. Falls
+back to interpret mode off-TPU so tests exercise the same kernel on the
+CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _spmm_kernel(nbr_ref, mask_ref, x_ref, out_ref, *, block_rows, num_nodes):
+    """One (row-block, feature-stripe) tile:
+    out[r, :] = sum_d mask[r, d] * x[nbr[r, d], :], computed as
+    A_block @ x with A_block[r, n] = #{d : nbr[r, d] == n, mask}.
+    """
+    nbr = nbr_ref[:]  # [BR, D] int32
+    mask = mask_ref[:]  # [BR, D] float32 (0/1, may carry edge weights)
+    # dense block adjacency via iota-compare: [BR, N]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_nodes), 1)
+    D = nbr.shape[1]
+
+    def body(d, acc):
+        col = jax.lax.dynamic_slice_in_dim(nbr, d, 1, axis=1)  # [BR, 1]
+        w = jax.lax.dynamic_slice_in_dim(mask, d, 1, axis=1)  # [BR, 1]
+        return acc + (col_ids == col).astype(jnp.float32) * w
+
+    acc = jax.lax.fori_loop(
+        0, D, body, jnp.zeros((block_rows, num_nodes), dtype=jnp.float32)
+    )
+    out_ref[:] = jnp.dot(acc, x_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "block_feats", "interpret")
+)
+def spmm_ell_pallas(
+    nbr: jnp.ndarray,  # [N, D] int32
+    nbr_weight: jnp.ndarray,  # [N, D] float32 (0 where invalid)
+    x: jnp.ndarray,  # [N, F] float32
+    block_rows: int = 256,
+    block_feats: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[i] = sum_d w[i, d] * x[nbr[i, d]] as a Pallas one-hot-MXU kernel."""
+    n, d = nbr.shape
+    f = x.shape[1]
+    n_pad = _round_up(n, block_rows)
+    f_pad = _round_up(f, block_feats)
+    nbr_p = jnp.pad(nbr, ((0, n_pad - n), (0, 0)))
+    w_p = jnp.pad(nbr_weight.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, f_pad - f)))
+
+    grid = (n_pad // block_rows, f_pad // block_feats)
+    out = pl.pallas_call(
+        functools.partial(
+            _spmm_kernel, block_rows=block_rows, num_nodes=n
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, block_feats), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, block_feats), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(nbr_p, w_p, x_p)
+    return out[:n, :f]
+
+
+def spmm_ell_auto(nbr, nbr_mask, x, nbr_weight=None, block_rows: int = 256):
+    """Dispatch to the Pallas kernel on TPU, interpret mode elsewhere."""
+    w = nbr_mask.astype(jnp.float32)
+    if nbr_weight is not None:
+        w = w * nbr_weight
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return spmm_ell_pallas(
+        nbr, w, x, block_rows=block_rows, interpret=not on_tpu
+    )

@@ -89,9 +89,11 @@ class AliasTables:
 
     @staticmethod
     def build(g: Graph, p: float = 1.0, q: float = 1.0) -> "AliasTables":
+        from linkpred_tpu import native
+
         N, D = g.nbr.shape
         w = g.nbr_mask.astype(np.float64)  # unweighted: weight 1 per edge
-        node_J, node_q = alias_setup_rows(w, g.nbr_mask)
+        node_J, node_q = native.build_alias_rows(w, g.nbr_mask)
 
         if p == 1.0 and q == 1.0:
             # 1st-order walk: every edge table equals the dst node table.
@@ -99,20 +101,23 @@ class AliasTables:
             edge_q = node_q[g.dst]
             return AliasTables(node_J, node_q, edge_J, edge_q)
 
-        # Build a dense has-edge lookup for the in-out bias term. For graphs
-        # too large for an N×N bool matrix, a sorted-neighbor membership test
-        # would replace this (host-side, one-time cost).
-        has_edge = g.has_edge_matrix()
-        E = g.num_edges
-        probs = np.zeros((E, D), dtype=np.float64)
-        for e in range(E):
-            s, d = g.src[e], g.dst[e]
-            nbrs = g.nbr[d]
-            m = g.nbr_mask[d]
-            pe = np.where(nbrs == s, 1.0 / p, np.where(has_edge[nbrs, s], 1.0, 1.0 / q))
-            probs[e] = np.where(m, pe, 0.0)
         valid = g.nbr_mask[g.dst]
-        edge_J, edge_q = alias_setup_rows(probs, valid)
+        if native.available():
+            # C++ path: binary-search membership over CSR rows, threaded
+            probs = native.edge_bias_probs(
+                g.src, g.dst, g.nbr, g.nbr_mask, g.indptr, g.indices, p, q
+            )
+        else:
+            # numpy fallback: dense has-edge lookup (fine up to ~20k nodes)
+            has_edge = g.has_edge_matrix()
+            nbrs = g.nbr[g.dst]  # [E, D]
+            pe = np.where(
+                nbrs == g.src[:, None],
+                1.0 / p,
+                np.where(has_edge[nbrs, g.src[:, None]], 1.0, 1.0 / q),
+            )
+            probs = np.where(valid, pe, 0.0)
+        edge_J, edge_q = native.build_alias_rows(probs, valid)
         return AliasTables(node_J, node_q, edge_J, edge_q)
 
 

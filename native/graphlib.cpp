@@ -1,0 +1,187 @@
+// linkpred_tpu native runtime: graph building, alias tables, negative
+// sampling. C API consumed from Python via ctypes.
+//
+// These are the host-side data-path equivalents of what the reference gets
+// from native *library* code (torch-scatter/torch-sparse C++ kernels,
+// gensim's C Word2Vec, Spark's JVM — SURVEY.md §2.6): the TPU framework
+// keeps device compute in XLA/Pallas, and keeps the host data plumbing in
+// C++ so graph ingestion and table construction never bottleneck feeding
+// the chip.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <thread>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSR/ELL construction from a directed edge list.
+// Inputs: src/dst [e]; outputs (caller-allocated):
+//   indptr [n+1], order [e] (permutation sorting edges by (src,dst)),
+//   nbr [n*max_deg], mask [n*max_deg] (uint8), degree [n].
+// Returns the max degree actually used (<= max_deg capacity).
+// ---------------------------------------------------------------------------
+int32_t build_csr_ell(const int32_t* src, const int32_t* dst, int64_t e,
+                      int32_t n, int32_t max_deg, int32_t* indptr,
+                      int32_t* order, int32_t* nbr, uint8_t* mask,
+                      int32_t* degree) {
+  std::vector<int64_t> cnt(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) cnt[src[i] + 1]++;
+  int32_t dmax = 0;
+  for (int32_t v = 0; v < n; ++v) {
+    degree[v] = (int32_t)cnt[v + 1];
+    dmax = std::max(dmax, degree[v]);
+  }
+  if (dmax > max_deg) return -dmax;  // capacity too small; caller retries
+  for (int32_t v = 0; v < n; ++v) cnt[v + 1] += cnt[v];
+  for (int32_t v = 0; v <= n; ++v) indptr[v] = (int32_t)cnt[v];
+
+  // counting-sort by src (stable), then sort each row's slice by dst
+  std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+  for (int64_t i = 0; i < e; ++i) order[cursor[src[i]]++] = (int32_t)i;
+  std::memset(mask, 0, (size_t)n * max_deg);
+  for (int32_t v = 0; v < n; ++v) {
+    int32_t lo = indptr[v], hi = indptr[v + 1];
+    std::sort(order + lo, order + hi,
+              [&](int32_t a, int32_t b) { return dst[a] < dst[b]; });
+    for (int32_t k = lo; k < hi; ++k) {
+      nbr[(int64_t)v * max_deg + (k - lo)] = dst[order[k]];
+      mask[(int64_t)v * max_deg + (k - lo)] = 1;
+    }
+    for (int32_t k = hi - lo; k < max_deg; ++k)
+      nbr[(int64_t)v * max_deg + k] = 0;
+  }
+  return dmax;
+}
+
+// ---------------------------------------------------------------------------
+// Row-wise alias tables (Vose). probs [r*d] (unnormalized, zeros where
+// invalid), deg [r] = number of valid slots per row. Outputs J [r*d] int32,
+// q [r*d] float32. Matches the Python alias_setup semantics
+// (reference node2vec.py:107-137). Multi-threaded over rows.
+// ---------------------------------------------------------------------------
+void build_alias_rows(const double* probs, const int32_t* deg, int64_t r,
+                      int32_t d, int32_t* J, float* q) {
+  int nthreads = (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16);
+  if (nthreads < 1) nthreads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<double> qr;
+    std::vector<int32_t> smaller, larger;
+    for (int64_t row = lo; row < hi; ++row) {
+      const double* p = probs + row * d;
+      int32_t* Jr = J + row * d;
+      float* qo = q + row * d;
+      int32_t K = deg[row];
+      std::memset(Jr, 0, sizeof(int32_t) * d);
+      std::memset(qo, 0, sizeof(float) * d);
+      if (K == 0) continue;
+      double s = 0;
+      for (int32_t k = 0; k < K; ++k) s += p[k];
+      qr.assign(K, 0.0);
+      smaller.clear();
+      larger.clear();
+      for (int32_t k = 0; k < K; ++k) {
+        qr[k] = (s > 0 ? p[k] / s : 1.0 / K) * K;
+        if (qr[k] < 1.0) smaller.push_back(k);
+        else larger.push_back(k);
+      }
+      while (!smaller.empty() && !larger.empty()) {
+        int32_t small = smaller.back(); smaller.pop_back();
+        int32_t large = larger.back(); larger.pop_back();
+        Jr[small] = large;
+        qr[large] += qr[small] - 1.0;
+        if (qr[large] < 1.0) smaller.push_back(large);
+        else larger.push_back(large);
+      }
+      for (int32_t k = 0; k < K; ++k) qo[k] = (float)qr[k];
+    }
+  };
+  std::vector<std::thread> ts;
+  int64_t chunk = (r + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(r, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// 2nd-order (node2vec p/q) edge bias probabilities.
+// For every directed edge e = (s -> t): over t's neighbor slots x:
+//   prob = 1/p if x == s, 1 if edge(x, s) exists, else 1/q.
+// nbr/mask are the ELL arrays; has_edge test uses binary search over the
+// CSR row of x. Output probs [e*d] doubles (0 where invalid).
+// ---------------------------------------------------------------------------
+void edge_bias_probs(const int32_t* src, const int32_t* dst, int64_t e,
+                     const int32_t* nbr, const uint8_t* mask, int32_t d,
+                     const int32_t* indptr, const int32_t* indices,
+                     double p, double q, double* probs) {
+  int nthreads = (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16);
+  if (nthreads < 1) nthreads = 1;
+  auto has_edge = [&](int32_t u, int32_t v) {
+    const int32_t* lo = indices + indptr[u];
+    const int32_t* hi = indices + indptr[u + 1];
+    return std::binary_search(lo, hi, v);
+  };
+  auto work = [&](int64_t lo_e, int64_t hi_e) {
+    for (int64_t i = lo_e; i < hi_e; ++i) {
+      int32_t s = src[i], t = dst[i];
+      const int32_t* row = nbr + (int64_t)t * d;
+      const uint8_t* m = mask + (int64_t)t * d;
+      double* out = probs + i * d;
+      for (int32_t k = 0; k < d; ++k) {
+        if (!m[k]) { out[k] = 0.0; continue; }
+        int32_t x = row[k];
+        out[k] = (x == s) ? 1.0 / p : (has_edge(x, s) ? 1.0 : 1.0 / q);
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  int64_t chunk = (e + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(e, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// Uniform negative sampling: `want` pairs (u < v) not present in the
+// exclusion set (sorted int64 keys u*n+v) and mutually distinct.
+// Returns the number actually sampled (== want unless the space is thin).
+// ---------------------------------------------------------------------------
+int64_t sample_negatives(const int64_t* exclude_sorted, int64_t n_exclude,
+                         int32_t n, int64_t want, uint64_t seed,
+                         int32_t* out_pairs) {
+  std::mt19937_64 rng(seed);
+  std::uniform_int_distribution<int32_t> uni(0, n - 1);
+  std::unordered_set<int64_t> seen;
+  seen.reserve((size_t)want * 2);
+  int64_t got = 0;
+  int64_t attempts = 0, max_attempts = want * 200 + 1000;
+  while (got < want && attempts < max_attempts) {
+    ++attempts;
+    int32_t a = uni(rng), b = uni(rng);
+    if (a == b) continue;
+    int32_t lo = std::min(a, b), hi = std::max(a, b);
+    int64_t key = (int64_t)lo * n + hi;
+    if (std::binary_search(exclude_sorted, exclude_sorted + n_exclude, key))
+      continue;
+    if (!seen.insert(key).second) continue;
+    out_pairs[got * 2] = lo;
+    out_pairs[got * 2 + 1] = hi;
+    ++got;
+  }
+  return got;
+}
+
+}  // extern "C"
