@@ -59,6 +59,14 @@ def _cmd_compare(args):
             print(f"{family:<10} {'—':>9} {'—':>9}")
         else:
             print(f"{family:<10} {best[0]:>9.4f} {best[1]:>9.4f}")
+    from linkpred_tpu.utils import plots
+
+    out = plots.plot_family_comparison(
+        [r[0] for r in rows],
+        [r[1][0] if r[1] else None for r in rows],
+        "assets/img/compare_auc.png",
+    )
+    print(f"wrote {out}")
 
 
 def _cmd_node2vec(args):

@@ -183,6 +183,39 @@ def two_hop_negatives(pairs: np.ndarray, num_nodes: int) -> np.ndarray:
     return np.stack([r, c], axis=1).astype(np.int64)
 
 
+def reference_scan_negatives(pairs: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Bug-compatible replay of the reference's negative scan
+    (`dataset_preparation.py:22-28`).
+
+    The reference builds the adjacency in *first-seen node order* but tests
+    the 2-hop condition on `str(i), str(j)` — the loop indices as node
+    names — so the distance constraint is evaluated on an unrelated pair.
+    The effective result is the set of unconnected pairs
+    (node_list[i], node_list[j]), i < j, where the *id-indexed* pair (i, j)
+    happens to lie within 2 hops: a quasi-random ~10%% subsample of all
+    unconnected pairs, dominated by easy (distant) negatives. We reproduce
+    it exactly (vectorized) because the published AUC (0.8075) is measured
+    against this pool; `two_hop_negatives` is the clean intended semantics.
+    """
+    p = np.asarray(pairs, dtype=np.int64)
+    adj = np.zeros((num_nodes, num_nodes), dtype=np.float32)
+    adj[p[:, 0], p[:, 1]] = 1.0
+    adj[p[:, 1], p[:, 0]] = 1.0
+    # dist(i, j) <= 2 on the id-indexed graph (i, j are loop indices)
+    within2 = (adj + adj @ adj) > 0
+    np.fill_diagonal(within2, True)
+    # first-seen order of node ids in the edge file = node_list order
+    flat = p.reshape(-1)
+    _, first_idx = np.unique(flat, return_index=True)
+    node_list = flat[np.sort(first_idx)]
+    # adjacency in node_list order
+    adj_perm = adj[np.ix_(node_list, node_list)]
+    cand = np.triu(within2 & (adj_perm == 0), k=1)
+    np.fill_diagonal(cand, False)
+    r, c = np.nonzero(cand)
+    return np.stack([node_list[r], node_list[c]], axis=1).astype(np.int64)
+
+
 def removable_positive_edges(pairs: np.ndarray, num_nodes: int) -> np.ndarray:
     """Indices (into `pairs`) of edges removable one-by-one while keeping the
     graph connected with all nodes present.

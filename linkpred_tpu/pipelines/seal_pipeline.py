@@ -34,7 +34,7 @@ from linkpred_tpu.data.graph import Graph
 from linkpred_tpu.models import seal
 from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
 from linkpred_tpu.ops.walk import WalkEngine
-from linkpred_tpu.utils import metrics, records
+from linkpred_tpu.utils import checkpoint, metrics, plots, records
 from linkpred_tpu.utils.timer import StepTimer
 
 
@@ -170,6 +170,11 @@ def run_seal(
     records.write_record(
         cfg.dataset, "seal", auc, train_seconds, cfg.records_dir, append=False
     )
+    # checkpoint (the reference's Saver.save(..., global_step=1000),
+    # `SEAL/model/gnn.py:198`) + ROC artifact (`assets/theme.py:41-62`)
+    checkpoint.save_pytree("checkpoints/seal/model", params, step=1000)
+    fpr, tpr, _ = metrics.roc_curve(labels[te], scores)
+    plots.plot_roc(fpr, tpr, auc, "SEAL DGCNN ROC", "assets/img/seal_roc.png")
     if verbose:
         print(timer.report())
         print(

@@ -36,7 +36,7 @@ import optax
 from linkpred_tpu.data import io
 from linkpred_tpu.data.twowl import TwoWLData, TwoWLSplit, build_twowl_data
 from linkpred_tpu.models import twowl as m
-from linkpred_tpu.utils import metrics, records
+from linkpred_tpu.utils import checkpoint, metrics, plots, records
 from linkpred_tpu.utils.timer import StepTimer
 
 
@@ -233,6 +233,11 @@ def run_twowl(
         json.dump(best["params"], f)
     if best["result"]["fpr"] is not None:
         records.write_roc_json(best["result"]["fpr"], best["result"]["tpr"])
+        plots.plot_roc(
+            best["result"]["fpr"], best["result"]["tpr"],
+            best["result"]["test_auc"], "TwoWL ROC", "assets/img/twowl_roc.png",
+        )
+    checkpoint.save_pytree("checkpoints/twowl/model", best["result"]["params"])
     if verbose:
         print(timer.report())
         print(
