@@ -1,0 +1,142 @@
+"""Scaling stress: edge-partitioned SpMM + sharded walks at ogbl-collab scale.
+
+Synthetic power-law graph at ogbl-collab size (~235k nodes, ~1.28M edges —
+the BASELINE.json scale-up config; the real dataset is not fetchable in this
+zero-egress image). Measures:
+
+- ELL SpMM aggregation throughput (edges/sec) single-device,
+- edge-partitioned COO SpMM throughput over the mesh (edges/sec) and its
+  scaling efficiency vs single-device,
+- sharded random-walk step throughput (node-hops/sec).
+
+Run on the virtual CPU mesh (JAX_PLATFORMS=cpu,
+--xla_force_host_platform_device_count=8) for CI-style validation, or on
+real chips for numbers. Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synth_powerlaw_graph(n_nodes: int, n_edges: int, alpha: float, seed: int):
+    """Preferential-attachment-flavored random multigraph, deduplicated."""
+    rng = np.random.default_rng(seed)
+    # degree-propensity ~ zipf over node ranks
+    w = (np.arange(1, n_nodes + 1, dtype=np.float64)) ** (-alpha)
+    w /= w.sum()
+    u = rng.choice(n_nodes, size=int(n_edges * 1.3), p=w)
+    v = rng.integers(0, n_nodes, size=int(n_edges * 1.3))
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    key = lo.astype(np.int64) * n_nodes + hi
+    _, idx = np.unique(key, return_index=True)
+    idx = idx[: n_edges]
+    return lo[idx], hi[idx]
+
+
+def bench(fn, warmup: int = 2, iters: int = 5) -> float:
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=235_000)
+    ap.add_argument("--edges", type=int, default=1_280_000)
+    ap.add_argument("--feats", type=int, default=128)
+    ap.add_argument("--walkers", type=int, default=65_536)
+    ap.add_argument("--walk-length", type=int, default=16)
+    ap.add_argument("--max-degree", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from linkpred_tpu.data.graph import Graph
+    from linkpred_tpu.ops import spmm
+    from linkpred_tpu.ops.walk import WalkEngine, simulate_walks
+    from linkpred_tpu.parallel import make_mesh
+    from linkpred_tpu.parallel.spmm_shard import (
+        pad_edges_for_mesh,
+        spmm_edge_partitioned,
+    )
+
+    print(json.dumps({"devices": len(jax.devices()),
+                      "platform": jax.devices()[0].platform}))
+
+    lo, hi = synth_powerlaw_graph(args.nodes, args.edges, alpha=0.9, seed=0)
+    # degree-cap like the Spark loader (Node2vec.scala:47-49) to bound ELL width
+    src = np.concatenate([lo, hi])
+    dst = np.concatenate([hi, lo])
+    perm = np.random.default_rng(1).permutation(len(src))
+    src, dst = src[perm], dst[perm]
+    counts = np.zeros(args.nodes, dtype=np.int32)
+    keep = np.zeros(len(src), dtype=bool)
+    for i in range(len(src)):
+        s = src[i]
+        if counts[s] < args.max_degree:
+            counts[s] += 1
+            keep[i] = True
+    src, dst = src[keep], dst[keep]
+    g = Graph.from_edges(src, dst, num_nodes=args.nodes)
+    e_directed = g.num_edges
+    print(json.dumps({"graph_nodes": args.nodes, "directed_edges": e_directed,
+                      "max_degree": g.max_degree}))
+
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (args.nodes, args.feats)).astype(np.float32)
+    )
+
+    # --- single-device ELL SpMM -----------------------------------------
+    nbr = jnp.asarray(g.nbr)
+    mask = jnp.asarray(g.nbr_mask)
+    dt = bench(lambda: jax.block_until_ready(spmm.spmm_ell(nbr, mask, x)))
+    eps_1 = e_directed / dt
+    print(json.dumps({"metric": "spmm_ell_single", "edges_per_s": round(eps_1),
+                      "seconds": round(dt, 4)}))
+
+    # --- edge-partitioned SpMM over the mesh ----------------------------
+    mesh = make_mesh()
+    esz = mesh.shape["edge"] * mesh.shape["data"]
+    src_j, dst_j = jnp.asarray(g.src), jnp.asarray(g.dst)
+    (src_p, dst_p), vmask = pad_edges_for_mesh([src_j, dst_j], mesh.shape["edge"])
+    dt = bench(lambda: jax.block_until_ready(
+        spmm_edge_partitioned(mesh, src_p, dst_p, x, args.nodes, mask=vmask)
+    ))
+    eps_n = e_directed / dt
+    print(json.dumps({
+        "metric": "spmm_edge_partitioned", "devices": esz,
+        "edge_axis": mesh.shape["edge"], "edges_per_s": round(eps_n),
+        "seconds": round(dt, 4),
+        "efficiency_vs_single": round(eps_n / eps_1, 3),
+    }))
+
+    # --- walk throughput -------------------------------------------------
+    eng = WalkEngine(g)
+    starts = jnp.asarray(
+        np.random.default_rng(3).integers(0, args.nodes, args.walkers)
+        .astype(np.int32)
+    )
+    run = lambda: jax.block_until_ready(simulate_walks(
+        jax.random.PRNGKey(0), starts, eng.nbr, eng.indptr, eng.degree,
+        eng.node_J, eng.node_q, eng.edge_J, eng.edge_q, args.walk_length,
+    ))
+    dt = bench(run)
+    hops = args.walkers * (args.walk_length - 1)
+    print(json.dumps({"metric": "walk_hops_per_s", "value": round(hops / dt),
+                      "seconds": round(dt, 4)}))
+
+
+if __name__ == "__main__":
+    main()

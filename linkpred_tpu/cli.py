@@ -69,6 +69,70 @@ def _cmd_compare(args):
     print(f"wrote {out}")
 
 
+def _cmd_stats(args):
+    """Dataset statistics + graph visualization — the Chart page
+    (`pages/📉Chart.py`) without Streamlit."""
+    import numpy as np
+
+    from linkpred_tpu.data import io
+
+    g, edges = io.load_fb_pages_food()
+    deg = np.asarray(g.degree)
+    print(f"nodes:            {g.num_nodes}")
+    print(f"undirected edges: {len(edges)}")
+    print(f"degree:           min {deg.min()}  mean {deg.mean():.2f}  "
+          f"median {np.median(deg):.0f}  max {deg.max()}")
+    # connected components via BFS over adjacency sets
+    seen = np.zeros(g.num_nodes, dtype=bool)
+    comps = 0
+    for s in range(g.num_nodes):
+        if seen[s]:
+            continue
+        comps += 1
+        stack = [s]
+        seen[s] = True
+        while stack:
+            u = stack.pop()
+            for v in g.nbr[u][g.nbr_mask[u]]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(int(v))
+    print(f"components:       {comps}")
+    density = len(edges) / (g.num_nodes * (g.num_nodes - 1) / 2)
+    print(f"density:          {density:.5f}")
+
+    if not args.no_plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        rng = np.random.default_rng(23)  # the reference's layout seed
+        pos = rng.random((g.num_nodes, 2))
+        # a few rounds of force-free neighbor averaging for a readable layout
+        for _ in range(30):
+            nb_mean = np.stack(
+                [pos[g.nbr[i][g.nbr_mask[i]]].mean(axis=0) if g.degree[i] else pos[i]
+                 for i in range(g.num_nodes)]
+            )
+            pos = 0.6 * pos + 0.4 * nb_mean + rng.normal(0, 0.002, pos.shape)
+        fig, ax = plt.subplots(figsize=(8, 8))
+        u, v = edges[:, 0], edges[:, 1]
+        ax.plot(
+            np.stack([pos[u, 0], pos[v, 0]]), np.stack([pos[u, 1], pos[v, 1]]),
+            color="gray", linewidth=0.3, alpha=0.5,
+        )
+        ax.scatter(pos[:, 0], pos[:, 1], s=8, alpha=0.8)
+        ax.set_title("fb-pages-food graph")
+        ax.axis("off")
+        import os
+
+        os.makedirs("assets/img", exist_ok=True)
+        fig.savefig("assets/img/graph_viz.png", dpi=120)
+        plt.close(fig)
+        print("wrote assets/img/graph_viz.png")
+
+
 def _cmd_node2vec(args):
     """Standalone node2vec CLI — the equivalent of the reference's
     `node2vec/src/main.py` (walk + embed + save .emb)."""
@@ -114,6 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--dataset", default="fb-pages-food")
     pc.add_argument("--records-dir", default="records_auc")
 
+    pst = sub.add_parser("stats", help="dataset statistics + graph viz")
+    pst.add_argument("--no-plot", action="store_true")
+
     pn = sub.add_parser("node2vec", help="standalone node2vec embedding CLI")
     pn.add_argument("--input", required=True)
     pn.add_argument("--output", required=True)
@@ -134,6 +201,7 @@ def main(argv=None):
         "seal": _cmd_seal,
         "twowl": _cmd_twowl,
         "compare": _cmd_compare,
+        "stats": _cmd_stats,
         "node2vec": _cmd_node2vec,
     }[args.cmd]
     cmd(args)

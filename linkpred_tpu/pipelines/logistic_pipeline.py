@@ -118,6 +118,11 @@ def run_logistic(
         fpr, tpr, auc, "node2vec + Logistic Regression ROC",
         "assets/img/logistic_roc.png",
     )
+    records.MetricsLogger("logs/metrics.jsonl").log(
+        family="logistic", auc=float(auc), fit_seconds=fit_seconds,
+        total_seconds=timer.total, num_pos=len(pos_pairs),
+        num_neg=len(neg_pairs),
+    )
     if verbose:
         print(timer.report())
         print(

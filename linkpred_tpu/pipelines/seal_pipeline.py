@@ -86,6 +86,19 @@ def learn_embedding(
     return emb
 
 
+def restore_seal_params(feature_dim: int, threshold_k: int, path: str | None = None):
+    """Restore DGCNN parameters from the latest checkpoint — the analog of
+    reference `gnn.predict`'s `import_meta_graph` + `latest_checkpoint`
+    restore (`SEAL/model/gnn.py:213-214`)."""
+    import jax
+
+    path = path or checkpoint.latest_checkpoint("checkpoints/seal", "model")
+    if path is None:
+        raise FileNotFoundError("no SEAL checkpoint under checkpoints/seal/")
+    like = seal.init_params(jax.random.PRNGKey(0), feature_dim, threshold_k)
+    return checkpoint.restore_pytree(path, like)
+
+
 def run_seal(
     cfg: SEALConfig = SEALConfig(),
     data_dir: Optional[str] = None,
@@ -175,6 +188,11 @@ def run_seal(
     checkpoint.save_pytree("checkpoints/seal/model", params, step=1000)
     fpr, tpr, _ = metrics.roc_curve(labels[te], scores)
     plots.plot_roc(fpr, tpr, auc, "SEAL DGCNN ROC", "assets/img/seal_roc.png")
+    records.MetricsLogger("logs/metrics.jsonl").log(
+        family="seal", auc=float(auc), accuracy=float(acc), hop=int(hop),
+        threshold_k=int(threshold_k), train_seconds=train_seconds,
+        total_seconds=timer.total,
+    )
     if verbose:
         print(timer.report())
         print(

@@ -238,6 +238,11 @@ def run_twowl(
             best["result"]["test_auc"], "TwoWL ROC", "assets/img/twowl_roc.png",
         )
     checkpoint.save_pytree("checkpoints/twowl/model", best["result"]["params"])
+    records.MetricsLogger("logs/metrics.jsonl").log(
+        family="twowl", auc=float(best["result"]["test_auc"]),
+        best_val=float(best["value"]), n_trials=n_trials,
+        total_seconds=timer.total, best_params=best["params"],
+    )
     if verbose:
         print(timer.report())
         print(
