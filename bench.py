@@ -28,7 +28,7 @@ def main():
     from linkpred_tpu.models import twowl as m
     from linkpred_tpu.pipelines.twowl_pipeline import (
         TwoWLRunConfig,
-        train_routine,
+        train_routine_fused,
     )
 
     _, edges = io.load_fb_pages_food()
@@ -40,12 +40,15 @@ def main():
         dp_emb=0.5, dp_1wl0=0.2, dp_1wl1=0.4, dp_2wl=0.1,
         act0=True, act1=False, learning_rate=0.01,
     )
-    # warm-up: compile the train/eval steps out of the timed region
-    warm = train_routine(data, cfg, TwoWLRunConfig(epochs=2), verbose=False)
+    # warm-up: compile the fused train scan out of the timed region (the
+    # scan length is the epoch count, so warm-up uses the same 1000)
+    warm = train_routine_fused(
+        data, cfg, TwoWLRunConfig(epochs=1000), verbose=False
+    )
 
     t0 = time.perf_counter()
-    res = train_routine(
-        data, cfg, TwoWLRunConfig(epochs=1000, early_stop=800), verbose=False
+    res = train_routine_fused(
+        data, cfg, TwoWLRunConfig(epochs=1000), verbose=False
     )
     seconds = time.perf_counter() - t0
 

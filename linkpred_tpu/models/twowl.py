@@ -262,6 +262,68 @@ def train_step(
     return params, opt_state, loss, logits, y
 
 
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "num_nodes", "num_epochs"))
+def train_scan(
+    params,
+    opt_state,
+    key,
+    pos_ids_epochs,  # [E, P] per-epoch sampled train-pos pair ids
+    neg_ids_epochs,  # [E, P]
+    trn,  # dict of train-split arrays
+    val,  # dict of val-split arrays
+    val_y,  # [num_val_pairs] float32 labels
+    node_deg,  # [N] eval-time degree feature
+    cfg: TwoWLConfig,
+    optimizer,
+    num_nodes: int,
+    num_epochs: int,
+):
+    """Whole training run as ONE on-device `lax.scan`: per epoch, a masked
+    train step plus a val-split eval with on-device AUC; the best-val
+    parameters are kept by a tree-select. Removes the per-epoch host
+    round-trips of the reference's loop (`train.py:86-107`) — on TPU the
+    full 1000-epoch routine is a single device program.
+
+    Returns (final_params, best_params, best_val_auc, per-epoch (loss, val_auc)).
+    """
+    from linkpred_tpu.utils.metrics import roc_auc_jax
+
+    num_msg_v = val["msg_src"].shape[0]
+    num_pred_v = val["pos1_src"].shape[0] - num_msg_v
+    val_sel = num_msg_v + jnp.arange(num_pred_v, dtype=jnp.int32)
+    val_msg_mask = jnp.ones((num_msg_v,), dtype=bool)
+
+    def epoch(carry, inp):
+        params, opt_state, best_params, best_auc, key = carry
+        pos_ids, neg_ids = inp
+        key, k_step = jax.random.split(key)
+        params, opt_state, loss, _, _ = train_step(
+            params, opt_state, k_step, pos_ids, neg_ids,
+            trn["msg_src"], trn["msg_dst"],
+            trn["pos1_src"], trn["pos1_dst"],
+            trn["ei2_a"], trn["ei2_b"], trn["ei2_mask"],
+            cfg, optimizer, num_nodes,
+        )
+        logits = forward(
+            params, cfg, node_deg, val["msg_src"], val["msg_dst"],
+            val_msg_mask, val["pos1_src"], val["pos1_dst"],
+            val["ei2_a"], val["ei2_b"], val["ei2_mask"], val_sel, None,
+        )
+        auc = roc_auc_jax(val_y, logits)
+        improved = auc > best_auc
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old), params, best_params
+        )
+        best_auc = jnp.where(improved, auc, best_auc)
+        return (params, opt_state, best_params, best_auc, key), (loss, auc)
+
+    init = (params, opt_state, params, jnp.float32(0.0), key)
+    (params, _, best_params, best_auc, _), hist = jax.lax.scan(
+        epoch, init, (pos_ids_epochs, neg_ids_epochs), length=num_epochs
+    )
+    return params, best_params, best_auc, hist
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_nodes"))
 def eval_scores(
     params,

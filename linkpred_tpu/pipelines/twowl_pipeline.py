@@ -143,6 +143,67 @@ def train_routine(
     }
 
 
+def train_routine_fused(
+    data: TwoWLData,
+    cfg: m.TwoWLConfig,
+    run: TwoWLRunConfig,
+    key=None,
+    verbose: bool = False,
+) -> dict:
+    """Fused variant of `train_routine`: the whole epoch loop runs as one
+    on-device `lax.scan` (`models.twowl.train_scan`) with on-device val AUC
+    and best-val parameter tracking — zero host round-trips per epoch. Runs
+    all `run.epochs` epochs (no early stop; best-val selection makes the
+    extra epochs harmless). The test split is scored once at the end with
+    the best parameters."""
+    key = key if key is not None else jax.random.PRNGKey(run.seed)
+    key, k_init = jax.random.split(key)
+    params = m.init_params(k_init, cfg)
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    trn = _split_arrays(data.train)
+    val = _split_arrays(data.val)
+    n_pos_pairs = data.train.num_msg // 2
+    n_neg_pairs = len(data.train.pred) // 2
+    P = min(len(data.val.y), n_pos_pairs, n_neg_pairs)
+
+    rng = np.random.default_rng(run.seed)
+    E = run.epochs
+    pos_ids = np.stack(
+        [rng.permutation(n_pos_pairs)[:P] for _ in range(E)]
+    ).astype(np.int32)
+    neg_ids = np.stack(
+        [rng.permutation(n_neg_pairs)[:P] for _ in range(E)]
+    ).astype(np.int32)
+
+    key, k_scan = jax.random.split(key)
+    _, best_params, best_auc, hist = m.train_scan(
+        params, opt_state, k_scan,
+        jnp.asarray(pos_ids), jnp.asarray(neg_ids),
+        trn, val, jnp.asarray(data.val.y),
+        jnp.asarray(data.node_deg),
+        cfg, optimizer, data.num_nodes, E,
+    )
+    best_val = float(best_auc)
+
+    t0 = time.perf_counter()
+    tst_score, tst_scores = evaluate(best_params, cfg, data, data.test)
+    t_eval = time.perf_counter() - t0
+    fpr, tpr, _ = metrics.roc_curve(data.test.y, tst_scores)
+    if verbose:
+        print(f"fused: best val {best_val:.4f} test {tst_score:.4f}")
+    return {
+        "best_val": best_val,
+        "test_auc": tst_score,
+        "test_eval_seconds": t_eval,
+        "fpr": fpr,
+        "tpr": tpr,
+        "params": best_params,
+        "history": np.asarray(hist[1]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # hyperparameter search (reference space, `TwoWL_work.py:67-79`)
 # ---------------------------------------------------------------------------
@@ -172,6 +233,7 @@ def run_twowl(
     data_dir: Optional[str] = None,
     verbose: bool = True,
     log_file: str = "logs.json",
+    fused: bool = True,
 ) -> dict:
     timer = StepTimer()
     rng = np.random.default_rng(run.seed)
@@ -209,8 +271,9 @@ def run_twowl(
             act1=hp["act1"],
             learning_rate=hp["lr"],
         )
+        routine = train_routine_fused if fused else train_routine
         with timer.span(f"trial {trial}"):
-            res = train_routine(
+            res = routine(
                 data, cfg, run,
                 key=jax.random.PRNGKey(run.seed + trial), verbose=False,
             )

@@ -187,3 +187,24 @@ class TestEndToEnd:
             )
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestFusedScan:
+    def test_train_scan_tracks_best(self, toy_data):
+        import optax
+        from linkpred_tpu.pipelines.twowl_pipeline import (
+            TwoWLRunConfig, train_routine_fused,
+        )
+
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1,
+                            dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0, dp_2wl=0.0,
+                            learning_rate=0.02)
+        res = train_routine_fused(d, cfg, TwoWLRunConfig(epochs=25))
+        assert res["history"].shape == (25,)
+        # best-val is the max of the per-epoch val AUCs
+        np.testing.assert_allclose(
+            res["best_val"], float(res["history"].max()), rtol=1e-5
+        )
+        assert 0.0 <= res["test_auc"] <= 1.0
