@@ -34,17 +34,20 @@ def _spmm_kernel(nbr_ref, mask_ref, x_ref, out_ref, *, block_rows, num_nodes):
     """One (row-block, feature-stripe) tile:
     out[r, :] = sum_d mask[r, d] * x[nbr[r, d], :], computed as
     A_block @ x with A_block[r, n] = #{d : nbr[r, d] == n, mask}.
+
+    The neighbor operands arrive transposed ([D, BR]) so the degree loop
+    reads one slot-row per iteration straight from the Ref — a dynamic ref
+    read `fori_loop` (Mosaic has no dynamic_slice on values, and a static
+    unroll would stack-allocate every [BR, N] compare temporary at once).
     """
-    nbr = nbr_ref[:]  # [BR, D] int32
-    mask = mask_ref[:]  # [BR, D] float32 (0/1, may carry edge weights)
-    # dense block adjacency via iota-compare: [BR, N]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_nodes), 1)
-    D = nbr.shape[1]
+    D = nbr_ref.shape[0]
 
     def body(d, acc):
-        col = jax.lax.dynamic_slice_in_dim(nbr, d, 1, axis=1)  # [BR, 1]
-        w = jax.lax.dynamic_slice_in_dim(mask, d, 1, axis=1)  # [BR, 1]
-        return acc + (col_ids == col).astype(jnp.float32) * w
+        col = nbr_ref[d, :]  # [BR]
+        w = mask_ref[d, :]  # [BR]
+        hit = (col_ids == col[:, None]).astype(jnp.float32)
+        return acc + hit * w[:, None]
 
     acc = jax.lax.fori_loop(
         0, D, body, jnp.zeros((block_rows, num_nodes), dtype=jnp.float32)
@@ -68,8 +71,12 @@ def spmm_ell_pallas(
     f = x.shape[1]
     n_pad = _round_up(n, block_rows)
     f_pad = _round_up(f, block_feats)
-    nbr_p = jnp.pad(nbr, ((0, n_pad - n), (0, 0)))
-    w_p = jnp.pad(nbr_weight.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    # transpose the neighbor operands to [D, N] so the kernel's degree loop
+    # reads a [BR] slot-row per iteration
+    nbr_t = jnp.pad(nbr, ((0, n_pad - n), (0, 0))).T
+    w_t = jnp.pad(
+        nbr_weight.astype(jnp.float32), ((0, n_pad - n), (0, 0))
+    ).T
     x_p = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, f_pad - f)))
 
     grid = (n_pad // block_rows, f_pad // block_feats)
@@ -80,9 +87,9 @@ def spmm_ell_pallas(
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0),
+            pl.BlockSpec((d, block_rows), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0),
+            pl.BlockSpec((d, block_rows), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, block_feats), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -92,7 +99,7 @@ def spmm_ell_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(nbr_p, w_p, x_p)
+    )(nbr_t, w_t, x_p)
     return out[:n, :f]
 
 
