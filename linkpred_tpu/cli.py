@@ -18,31 +18,61 @@ import argparse
 import sys
 
 
-def _cmd_logistic(args):
-    from linkpred_tpu.pipelines.logistic_pipeline import LogisticConfig, run_logistic
+def _load_config(args):
+    import dataclasses
 
-    res = run_logistic(LogisticConfig(seed=args.seed), verbose=not args.quiet)
+    from linkpred_tpu.config import Config, apply_overrides
+
+    cfg = Config(seed=args.seed)
+    cfg = dataclasses.replace(
+        cfg,
+        logistic=dataclasses.replace(cfg.logistic, seed=args.seed),
+        seal=dataclasses.replace(cfg.seal, seed=args.seed),
+        twowl=dataclasses.replace(cfg.twowl, seed=args.seed),
+    )
+    if getattr(args, "epochs", None) is not None:
+        if args.cmd == "seal":
+            cfg = dataclasses.replace(
+                cfg, seal=dataclasses.replace(cfg.seal, epochs=args.epochs)
+            )
+        elif args.cmd == "twowl":
+            cfg = dataclasses.replace(
+                cfg, twowl=dataclasses.replace(cfg.twowl, epochs=args.epochs)
+            )
+    if getattr(args, "trials", None) is not None:
+        cfg = dataclasses.replace(cfg, twowl_trials=args.trials)
+    return apply_overrides(cfg, args.set or [])
+
+
+def _cmd_logistic(args):
+    from linkpred_tpu.pipelines.logistic_pipeline import run_logistic
+
+    cfg = _load_config(args)
+    res = run_logistic(
+        cfg.logistic, data_dir=cfg.paths.data_dir, verbose=not args.quiet
+    )
     print(f"AUC:{res['auc']:.4f}   Time:{res['fit_seconds']:.4f}")
 
 
 def _cmd_seal(args):
-    from linkpred_tpu.pipelines.seal_pipeline import SEALConfig, run_seal
+    from linkpred_tpu.pipelines.seal_pipeline import run_seal
 
-    res = run_seal(
-        SEALConfig(seed=args.seed, epochs=args.epochs), verbose=not args.quiet
-    )
+    cfg = _load_config(args)
+    res = run_seal(cfg.seal, data_dir=cfg.paths.data_dir, verbose=not args.quiet)
     print(f"AUC:{res['auc']:.4f}   Time:{res['train_seconds']:.4f}")
 
 
 def _cmd_twowl(args):
-    from linkpred_tpu.pipelines.twowl_pipeline import TwoWLRunConfig, run_twowl
+    from linkpred_tpu.pipelines.twowl_pipeline import run_twowl
 
+    cfg = _load_config(args)
     res = run_twowl(
-        TwoWLRunConfig(seed=args.seed, epochs=args.epochs),
-        n_trials=args.trials,
+        cfg.twowl,
+        n_trials=cfg.twowl_trials,
+        data_dir=cfg.paths.data_dir,
         verbose=not args.quiet,
     )
-    print(f"AUC:{res['test_auc']:.4f}   (best of {args.trials} trials)")
+    print(f"AUC:{res['test_auc']:.4f}   (best of {cfg.twowl_trials} trials)")
 
 
 def _cmd_compare(args):
@@ -163,16 +193,20 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="linkpred_tpu", description=__doc__)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--set", action="append", metavar="KEY=VALUE",
+        help="dotted-path config override, e.g. --set twowl.epochs=500",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("logistic", help="node2vec + logistic regression")
 
     ps = sub.add_parser("seal", help="SEAL enclosing-subgraph DGCNN")
-    ps.add_argument("--epochs", type=int, default=50)
+    ps.add_argument("--epochs", type=int, default=None)
 
     pt = sub.add_parser("twowl", help="TwoWL 2-WL GNN with hyperparameter sweep")
-    pt.add_argument("--epochs", type=int, default=1000)
-    pt.add_argument("--trials", type=int, default=10)
+    pt.add_argument("--epochs", type=int, default=None)
+    pt.add_argument("--trials", type=int, default=None)
 
     pc = sub.add_parser("compare", help="compare best records per family")
     pc.add_argument("--dataset", default="fb-pages-food")

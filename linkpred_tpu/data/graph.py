@@ -124,6 +124,21 @@ class Graph:
         dst = np.concatenate([hi, lo])
         return Graph.from_edges(src, dst, num_nodes=num_nodes, max_degree=max_degree)
 
+    def with_degree_cap(self, cap: int, rng=None) -> "Graph":
+        """Keep at most `cap` out-edges per node (random subset) — the walk
+        engine's analog of the Spark loader's degree cap
+        (reference `Node2vec.scala:47-49`, cap 30). Bounds ELL width and
+        alias-table size on power-law graphs."""
+        rng = rng or np.random.default_rng(0)
+        keep = np.ones(self.num_edges, dtype=bool)
+        for v in np.nonzero(self.degree > cap)[0]:
+            lo, hi = self.indptr[v], self.indptr[v + 1]
+            drop = rng.permutation(hi - lo)[: (hi - lo) - cap]
+            keep[lo + drop] = False
+        return Graph.from_edges(
+            self.src[keep], self.dst[keep], num_nodes=self.num_nodes
+        )
+
     # ------------------------------------------------------------------
     # derived quantities
     # ------------------------------------------------------------------
