@@ -181,6 +181,47 @@ def train_step(
     return optax.apply_updates(params, updates), opt_state, loss
 
 
+@partial(
+    jax.jit,
+    static_argnames=("threshold_k", "dropout_rate", "optimizer", "num_steps"),
+)
+def train_scan(
+    params,
+    opt_state,
+    key,
+    batch_idx,  # [num_steps, batch] precomputed minibatch indices
+    d_inv,
+    a_tilde,
+    x,
+    node_mask,
+    y,
+    threshold_k: int,
+    dropout_rate: float,
+    optimizer,
+    num_steps: int,
+):
+    """The whole minibatched training run as one on-device `lax.scan` —
+    replaces per-step host dispatch (the reference does one `sess.run` per
+    *subgraph*, `gnn.py:172-181`; the host-loop trainer here still paid one
+    dispatch per minibatch). Returns (params, opt_state, per-step losses)."""
+
+    def step(carry, inp):
+        params, opt_state, key = carry
+        idx = inp
+        key, k_drop = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, d_inv[idx], a_tilde[idx], x[idx], node_mask[idx], y[idx],
+            threshold_k, k_drop, dropout_rate,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, key), loss
+
+    (params, opt_state, _), losses = jax.lax.scan(
+        step, (params, opt_state, key), batch_idx, length=num_steps
+    )
+    return params, opt_state, losses
+
+
 @partial(jax.jit, static_argnames=("threshold_k",))
 def predict_scores(params, d_inv, a_tilde, x, node_mask, threshold_k: int):
     """Positive-class softmax scores [B] (reference `gnn.py:137,243`)."""
@@ -205,8 +246,14 @@ def train_dgcnn(
     eval_every: int = 0,
     eval_fn=None,
     verbose: bool = False,
+    fused: bool = True,
 ) -> DGCNNParams:
-    """Minibatched Adam training over the padded subgraph stack."""
+    """Minibatched Adam training over the padded subgraph stack.
+
+    `fused=True` (default, and forced when no eval callback is given) runs
+    the entire schedule as one device-side `train_scan`; the host loop
+    remains for callers that need per-epoch callbacks.
+    """
     n = y.shape[0]
     bs = min(cfg.batch_size, n)
     steps_per_epoch = max(n // bs, 1)
@@ -224,6 +271,27 @@ def train_dgcnn(
     y = jnp.asarray(y, dtype=jnp.int32)
 
     rng = np.random.default_rng(cfg.seed)
+    if fused and eval_fn is None:
+        batch_idx = np.concatenate(
+            [
+                rng.permutation(n)[: steps_per_epoch * bs].reshape(
+                    steps_per_epoch, bs
+                )
+                for _ in range(cfg.epochs)
+            ]
+        ).astype(np.int32)
+        key, k_scan = jax.random.split(key)
+        params, opt_state, losses = train_scan(
+            params, opt_state, k_scan, jnp.asarray(batch_idx),
+            d_inv, a_tilde, x, node_mask, y,
+            cfg.threshold_k, cfg.dropout, optimizer, len(batch_idx),
+        )
+        if verbose:
+            losses = np.asarray(losses).reshape(cfg.epochs, steps_per_epoch)
+            for epoch in (0, cfg.epochs // 2, cfg.epochs - 1):
+                print(f"epoch {epoch}: loss {losses[epoch].mean():.4f}")
+        return params
+
     for epoch in range(cfg.epochs):
         perm = rng.permutation(n)
         epoch_loss = 0.0
