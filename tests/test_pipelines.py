@@ -1,0 +1,75 @@
+"""End-to-end pipeline smoke tests at tiny settings (golden-AUC style).
+
+The reference's de-facto regression fixture is record replay (SURVEY.md §4);
+here each family runs a miniature end-to-end pass on the real fb-pages-food
+data and must clear a loose AUC floor — enough to catch wiring regressions
+without slow full training in CI.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from linkpred_tpu.models.word2vec import SGNSConfig
+
+
+@pytest.fixture(autouse=True)
+def _workdir(tmp_path, monkeypatch):
+    """Isolate record/artifact writes from the repo tree."""
+    monkeypatch.chdir(tmp_path)
+
+
+class TestPipelines:
+    def test_seal_small(self):
+        from linkpred_tpu.pipelines.seal_pipeline import SEALConfig, run_seal
+
+        res = run_seal(
+            SEALConfig(epochs=3, dimension=32, max_neighbors=50),
+            verbose=False,
+        )
+        assert res["auc"] > 0.75
+        assert os.path.exists("records_auc/fb-pages-food_auc_record_seal.txt")
+        assert os.path.exists("checkpoints/seal/model-1000.npz")
+
+    def test_twowl_small(self):
+        import jax
+
+        from linkpred_tpu.data import io
+        from linkpred_tpu.data.twowl import build_twowl_data
+        from linkpred_tpu.models import twowl as m
+        from linkpred_tpu.pipelines.twowl_pipeline import (
+            TwoWLRunConfig,
+            train_routine_fused,
+        )
+
+        _, edges = io.load_fb_pages_food()
+        d = build_twowl_data(edges, int(edges.max()) + 1,
+                             rng=np.random.default_rng(0))
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=24,
+                            channels_2wl=16, depth1=2, depth2=2,
+                            learning_rate=0.01)
+        res = train_routine_fused(
+            d, cfg, TwoWLRunConfig(epochs=120),
+            key=jax.random.PRNGKey(0),
+        )
+        assert res["best_val"] > 0.6
+        assert 0.0 <= res["test_auc"] <= 1.0
+
+    def test_logistic_small(self):
+        from linkpred_tpu.pipelines.logistic_pipeline import (
+            LogisticConfig,
+            run_logistic,
+        )
+
+        res = run_logistic(
+            LogisticConfig(
+                num_walks=10,
+                embed=SGNSConfig(dim=32, window=5, negatives=5, epochs=1),
+            ),
+            verbose=False,
+        )
+        assert res["auc"] > 0.6
+        assert os.path.exists(
+            "records_auc/fb-pages-food_auc_record_logistic.txt"
+        )
