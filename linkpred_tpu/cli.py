@@ -173,7 +173,7 @@ def _cmd_node2vec(args):
     from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
     from linkpred_tpu.ops.walk import WalkEngine
 
-    g = load_edgelist(args.input)
+    g = load_edgelist(args.input, directed=args.directed, weighted=args.weighted)
     eng = WalkEngine(g, p=args.p, q=args.q)
     walks = eng.walks(jax.random.PRNGKey(args.seed), args.num_walks, args.walk_length)
     emb = train_sgns(
@@ -225,6 +225,8 @@ def build_parser() -> argparse.ArgumentParser:
     pn.add_argument("--iter", type=int, default=1)
     pn.add_argument("--p", type=float, default=1.0)
     pn.add_argument("--q", type=float, default=1.0)
+    pn.add_argument("--directed", action="store_true")
+    pn.add_argument("--weighted", action="store_true")
     return p
 
 

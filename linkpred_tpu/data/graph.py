@@ -43,6 +43,7 @@ class Graph:
     nbr: np.ndarray  # [N, max_degree] int32 padded neighbors (pad = 0)
     nbr_mask: np.ndarray  # [N, max_degree] bool, True where a real neighbor
     degree: np.ndarray  # [N] int32 out-degree
+    nbr_weight: np.ndarray | None = None  # [N, max_degree] float32 (None = 1s)
 
     @property
     def num_edges(self) -> int:
@@ -62,8 +63,14 @@ class Graph:
         dst: np.ndarray,
         num_nodes: Optional[int] = None,
         max_degree: Optional[int] = None,
+        weight: Optional[np.ndarray] = None,
     ) -> "Graph":
-        """Build from a directed edge list (each edge used exactly as given)."""
+        """Build from a directed edge list (each edge used exactly as given).
+
+        `weight` (optional [E] floats) flows into the padded `nbr_weight`
+        matrix; the walk engine uses it for weighted transition
+        probabilities (reference `node2vec/src/main.py:41-47` --weighted).
+        """
         src = np.asarray(src, dtype=np.int32).reshape(-1)
         dst = np.asarray(dst, dtype=np.int32).reshape(-1)
         if num_nodes is None:
@@ -89,6 +96,12 @@ class Graph:
         nbr[s_sorted, row_pos] = d_sorted
         mask[s_sorted, row_pos] = True
 
+        nbr_w = None
+        if weight is not None:
+            w_sorted = np.asarray(weight, dtype=np.float32).reshape(-1)[order]
+            nbr_w = np.zeros((num_nodes, max_deg), dtype=np.float32)
+            nbr_w[s_sorted, row_pos] = w_sorted
+
         return Graph(
             num_nodes=num_nodes,
             src=s_sorted,
@@ -98,6 +111,7 @@ class Graph:
             nbr=nbr,
             nbr_mask=mask,
             degree=degree,
+            nbr_weight=nbr_w,
         )
 
     @staticmethod

@@ -73,9 +73,28 @@ def load_node_names(data_dir: Optional[str] = None) -> dict:
     return names
 
 
-def load_edgelist(path: str, one_based: bool = False) -> Graph:
-    """Load a whitespace-separated edgelist (e.g. the karate demo)."""
-    e = np.loadtxt(path, dtype=np.int64).reshape(-1, 2)
+def load_edgelist(
+    path: str,
+    one_based: bool = False,
+    directed: bool = False,
+    weighted: bool = False,
+) -> Graph:
+    """Load a whitespace-separated edgelist (e.g. the karate demo).
+
+    Mirrors the reference node2vec CLI's read modes
+    (`node2vec/src/main.py:66-76`): optional third weight column, directed
+    or symmetrized.
+    """
+    raw = np.loadtxt(path, dtype=np.float64)
+    raw = raw.reshape(-1, raw.shape[-1] if raw.ndim > 1 else 2)
+    e = raw[:, :2].astype(np.int64)
+    w = raw[:, 2].astype(np.float32) if (weighted and raw.shape[1] > 2) else None
     if one_based or e.min() == 1:
         e = e - 1
+    if directed:
+        return Graph.from_edges(e[:, 0], e[:, 1], weight=w)
+    if w is not None:
+        src = np.concatenate([e[:, 0], e[:, 1]])
+        dst = np.concatenate([e[:, 1], e[:, 0]])
+        return Graph.from_edges(src, dst, weight=np.concatenate([w, w]))
     return Graph.from_undirected_edges(e[:, 0], e[:, 1])

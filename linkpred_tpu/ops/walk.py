@@ -92,23 +92,30 @@ class AliasTables:
         from linkpred_tpu import native
 
         N, D = g.nbr.shape
-        w = g.nbr_mask.astype(np.float64)  # unweighted: weight 1 per edge
+        w = (
+            g.nbr_weight.astype(np.float64)
+            if g.nbr_weight is not None
+            else g.nbr_mask.astype(np.float64)  # unweighted: weight 1/edge
+        )
         node_J, node_q = native.build_alias_rows(w, g.nbr_mask)
 
-        if p == 1.0 and q == 1.0:
-            # 1st-order walk: every edge table equals the dst node table.
+        if p == 1.0 and q == 1.0 and g.nbr_weight is None:
+            # 1st-order unweighted walk: every edge table equals the dst
+            # node table.
             edge_J = node_J[g.dst]
             edge_q = node_q[g.dst]
             return AliasTables(node_J, node_q, edge_J, edge_q)
 
         valid = g.nbr_mask[g.dst]
-        if native.available():
+        if native.available() and g.nbr_weight is None:
             # C++ path: binary-search membership over CSR rows, threaded
             probs = native.edge_bias_probs(
                 g.src, g.dst, g.nbr, g.nbr_mask, g.indptr, g.indices, p, q
             )
         else:
-            # numpy fallback: dense has-edge lookup (fine up to ~20k nodes)
+            # numpy fallback: dense has-edge lookup (fine up to ~20k nodes);
+            # weighted graphs scale the bias by the edge weight like the
+            # reference's `get_alias_edge` (`node2vec.py:55-74`)
             has_edge = g.has_edge_matrix()
             nbrs = g.nbr[g.dst]  # [E, D]
             pe = np.where(
@@ -117,6 +124,8 @@ class AliasTables:
                 np.where(has_edge[nbrs, g.src[:, None]], 1.0, 1.0 / q),
             )
             probs = np.where(valid, pe, 0.0)
+            if g.nbr_weight is not None:
+                probs = probs * g.nbr_weight[g.dst]
         edge_J, edge_q = native.build_alias_rows(probs, valid)
         return AliasTables(node_J, node_q, edge_J, edge_q)
 

@@ -1,4 +1,5 @@
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -79,3 +80,36 @@ def test_walk_starts_cover_all_nodes(rng):
     eng = WalkEngine(g)
     walks = np.asarray(eng.walks(jax.random.PRNGKey(2), num_walks=2, walk_length=5))
     assert (walks[:, 0] == np.tile(np.arange(20), 2)).all()
+
+
+class TestWeightedWalks:
+    def test_weighted_alias_bias(self, rng):
+        """A heavily weighted edge dominates the transition distribution."""
+        import jax
+        from linkpred_tpu.data.graph import Graph
+        from linkpred_tpu.ops.walk import WalkEngine
+
+        # node 0 -> {1 (w=100), 2 (w=1)}; walks from 0 should mostly hit 1
+        src = np.array([0, 0, 1, 2])
+        dst = np.array([1, 2, 0, 0])
+        w = np.array([100.0, 1.0, 1.0, 1.0], dtype=np.float32)
+        g = Graph.from_edges(src, dst, num_nodes=3, weight=w)
+        eng = WalkEngine(g)
+        starts = jnp.zeros(2000, dtype=jnp.int32)
+        from linkpred_tpu.ops.walk import simulate_walks
+
+        walks = np.asarray(simulate_walks(
+            jax.random.PRNGKey(0), starts, eng.nbr, eng.indptr, eng.degree,
+            eng.node_J, eng.node_q, eng.edge_J, eng.edge_q, 2,
+        ))
+        frac_to_1 = (walks[:, 1] == 1).mean()
+        assert frac_to_1 > 0.95  # expect ~100/101
+
+    def test_weighted_edgelist_loader(self, tmp_path):
+        from linkpred_tpu.data.io import load_edgelist
+
+        path = tmp_path / "w.edgelist"
+        path.write_text("0 1 5.0\n1 2 1.0\n")
+        g = load_edgelist(str(path), weighted=True)
+        assert g.nbr_weight is not None
+        assert g.nbr_weight[g.nbr_mask].max() == 5.0
