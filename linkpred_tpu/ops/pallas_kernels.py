@@ -103,6 +103,70 @@ def spmm_ell_pallas(
     return out[:n, :f]
 
 
+def _sddmm_kernel(src_ref, dst_ref, x_ref, y_ref, out_ref, *, block_edges, num_nodes):
+    """One edge-block tile: out[e] = <x[src[e]], y[dst[e]]>.
+
+    Gathers become one-hot MXU matmuls: S = onehot(src) @ x and
+    T = onehot(dst) @ y ([BE, N] x [N, F]), then a row-wise dot. Same
+    Mosaic-friendly structure as the SpMM kernel (no value-gathers).
+    """
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_edges, num_nodes), 1)
+    s_hot = (row_ids == src_ref[:, 0][:, None]).astype(jnp.float32)
+    t_hot = (row_ids == dst_ref[:, 0][:, None]).astype(jnp.float32)
+    xs = jnp.dot(s_hot, x_ref[:], preferred_element_type=jnp.float32)
+    yt = jnp.dot(t_hot, y_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.sum(xs * yt, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def sddmm_pallas(
+    src: jnp.ndarray,  # [E] int32
+    dst: jnp.ndarray,  # [E] int32
+    x: jnp.ndarray,  # [N, F] float32
+    y: jnp.ndarray,  # [N, F] float32
+    block_edges: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-edge dot products as a Pallas one-hot-MXU kernel: [E] float32."""
+    e = src.shape[0]
+    n = x.shape[0]
+    e_pad = _round_up(e, block_edges)
+    src_p = jnp.pad(src, (0, e_pad - e)).reshape(-1, 1)
+    dst_p = jnp.pad(dst, (0, e_pad - e)).reshape(-1, 1)
+
+    grid = (e_pad // block_edges,)
+    out = pl.pallas_call(
+        functools.partial(
+            _sddmm_kernel, block_edges=block_edges, num_nodes=n
+        ),
+        out_shape=jax.ShapeDtypeStruct((e_pad, 1), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_edges, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_edges, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_edges, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(src_p, dst_p, x.astype(jnp.float32), y.astype(jnp.float32))
+    return out[:e, 0]
+
+
+def sddmm_auto(src, dst, x, y=None, block_edges: int = 256):
+    """Dispatch to the Pallas SDDMM on TPU, interpret mode elsewhere."""
+    if y is None:
+        y = x
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return sddmm_pallas(
+        src, dst, x, y, block_edges=block_edges, interpret=not on_tpu
+    )
+
+
 def spmm_ell_auto(nbr, nbr_mask, x, nbr_weight=None, block_rows: int = 256):
     """Dispatch to the Pallas kernel on TPU, interpret mode elsewhere."""
     w = nbr_mask.astype(jnp.float32)

@@ -56,3 +56,34 @@ class TestPallasSpMM:
         )
         expect = g.dense_adjacency() @ x
         np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+class TestPallasSDDMM:
+    def test_matches_dense(self, rng):
+        from linkpred_tpu.ops.pallas_kernels import sddmm_pallas
+
+        n, e, f = 50, 130, 24
+        src = rng.integers(0, n, e).astype(np.int32)
+        dst = rng.integers(0, n, e).astype(np.int32)
+        x = rng.standard_normal((n, f)).astype(np.float32)
+        y = rng.standard_normal((n, f)).astype(np.float32)
+        out = np.asarray(
+            sddmm_pallas(
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x),
+                jnp.asarray(y), block_edges=32, interpret=True,
+            )
+        )
+        expect = (x[src] * y[dst]).sum(axis=1)
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+    def test_auto_self_scores(self, fb_graph, rng):
+        from linkpred_tpu.ops.pallas_kernels import sddmm_auto
+
+        g, _ = fb_graph
+        x = rng.standard_normal((g.num_nodes, 16)).astype(np.float32)
+        out = np.asarray(
+            sddmm_auto(jnp.asarray(g.src[:500]), jnp.asarray(g.dst[:500]),
+                       jnp.asarray(x))
+        )
+        expect = (x[g.src[:500]] * x[g.dst[:500]]).sum(axis=1)
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
