@@ -227,6 +227,19 @@ def sample_trial(rng: np.random.Generator) -> dict:
     return {k: v[rng.integers(len(v))] for k, v in SEARCH_SPACE.items()}
 
 
+def _load_sweep_state(state_file: str) -> dict:
+    import os
+
+    done = {}
+    if state_file and os.path.exists(state_file):
+        with open(state_file) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    done[rec["trial"]] = rec
+    return done
+
+
 def run_twowl(
     run: TwoWLRunConfig = TwoWLRunConfig(),
     n_trials: int = 10,
@@ -234,9 +247,15 @@ def run_twowl(
     verbose: bool = True,
     log_file: str = "logs.json",
     fused: bool = True,
+    state_file: str = "logs/twowl_sweep_state.jsonl",
 ) -> dict:
+    """10-trial sweep with crash-resume: per-trial results append to
+    `state_file`; on restart, completed trials replay from it (the RNG
+    stream is re-drawn identically so pending trials are unaffected).
+    Delete the state file for a fresh sweep."""
     timer = StepTimer()
     rng = np.random.default_rng(run.seed)
+    done = _load_sweep_state(state_file)
 
     with timer.span("dataset"):
         _, edges = io.load_fb_pages_food(data_dir)
@@ -272,16 +291,32 @@ def run_twowl(
             learning_rate=hp["lr"],
         )
         routine = train_routine_fused if fused else train_routine
-        with timer.span(f"trial {trial}"):
-            res = routine(
-                data, cfg, run,
-                key=jax.random.PRNGKey(run.seed + trial), verbose=False,
+        if trial in done:
+            rec = done[trial]
+            res = {
+                "best_val": rec["val"], "test_auc": rec["test"],
+                "test_eval_seconds": rec.get("eval_seconds", 0.0),
+                "fpr": None, "tpr": None, "params": None,
+            }
+            trial_seconds = rec.get("seconds", 0.0)
+        else:
+            with timer.span(f"trial {trial}"):
+                res = routine(
+                    data, cfg, run,
+                    key=jax.random.PRNGKey(run.seed + trial), verbose=False,
+                )
+            trial_seconds = time.perf_counter() - t0
+            records.write_record(
+                run.dataset, "twowl", res["test_auc"], res["test_eval_seconds"],
+                run.records_dir, append=trial > 0,
             )
-        trial_seconds = time.perf_counter() - t0
-        records.write_record(
-            run.dataset, "twowl", res["test_auc"], res["test_eval_seconds"],
-            run.records_dir, append=trial > 0,
-        )
+            if state_file:
+                records.MetricsLogger(state_file).log(
+                    trial=trial, val=float(res["best_val"]),
+                    test=float(res["test_auc"]),
+                    eval_seconds=res["test_eval_seconds"],
+                    seconds=trial_seconds, **hp,
+                )
         results.append({**hp, "val": res["best_val"], "test": res["test_auc"],
                         "seconds": trial_seconds})
         if verbose:
@@ -290,7 +325,17 @@ def run_twowl(
                 f"test {res['test_auc']:.4f} ({trial_seconds:.1f}s) {hp}"
             )
         if res["best_val"] > best["value"]:
-            best = {"value": res["best_val"], "params": hp, "result": res}
+            best = {"value": res["best_val"], "params": hp, "result": res,
+                    "cfg": cfg, "trial": trial}
+
+    if best["result"] is not None and best["result"]["params"] is None:
+        # the winner was a resumed (replayed) trial — retrain it once to
+        # regenerate the checkpoint/ROC artifacts
+        routine = train_routine_fused if fused else train_routine
+        best["result"] = routine(
+            data, best["cfg"], run,
+            key=jax.random.PRNGKey(run.seed + best["trial"]), verbose=False,
+        )
 
     with open(log_file, "w") as f:
         json.dump(best["params"], f)
