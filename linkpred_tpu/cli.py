@@ -176,6 +176,12 @@ def _cmd_node2vec(args):
     g = load_edgelist(args.input, directed=args.directed, weighted=args.weighted)
     eng = WalkEngine(g, p=args.p, q=args.q)
     walks = eng.walks(jax.random.PRNGKey(args.seed), args.num_walks, args.walk_length)
+    if args.walks_output:
+        # `randomwalk` command parity (Spark Main.scala:99-114 saves raw paths)
+        np.savetxt(args.walks_output, np.asarray(walks), fmt="%d")
+        print(f"wrote {len(walks)} walks to {args.walks_output}")
+        if args.output == "/dev/null":
+            return
     emb = train_sgns(
         jax.random.PRNGKey(args.seed + 1), walks, g.num_nodes,
         SGNSConfig(dim=args.dimensions, window=args.window_size,
@@ -227,6 +233,8 @@ def build_parser() -> argparse.ArgumentParser:
     pn.add_argument("--q", type=float, default=1.0)
     pn.add_argument("--directed", action="store_true")
     pn.add_argument("--weighted", action="store_true")
+    pn.add_argument("--walks-output", default=None,
+                    help="also dump raw walk paths (Spark 'randomwalk' parity)")
     return p
 
 
