@@ -141,40 +141,73 @@ def run_seal(
         )
 
     with timer.span("gnn inputs"):
-        d_inv, a_tilde, x = sg.gnn_inputs(batch, emb)
+        # compact device inputs: uint8 adjacency + int tags/node-ids +
+        # the [N, D] embedding table; dense f32 assembly happens inside jit
+        # (`seal.assemble_inputs`) — ~12x less transfer than the host-dense
+        # path of reference `create_input_for_gnn_fly`
+        import jax.numpy as jnp
+
         perm = rng.permutation(len(labels))
         n_train = int(len(labels) * 0.9)
         tr, te = perm[:n_train], perm[n_train:]
         threshold_k = seal.threshold_from_sizes(batch.sizes, cfg.top_k_percent)
+        feature_dim = batch.tags_size + (emb.shape[1] if emb is not None else 0)
+        adj_d = jnp.asarray(batch.adj)
+        tags_d = jnp.asarray(batch.tags)
+        nodes_d = jnp.asarray(batch.nodes)
+        mask_d = jnp.asarray(batch.node_mask)
+        emb_d = jnp.asarray(emb.astype(np.float32)) if emb is not None else None
+        y_d = jnp.asarray(labels)
 
     # the recorded time brackets training only, like the reference's timer
     # around gnn.train (`seal_link_predict.py:78-80`)
     t_train0 = time.perf_counter()
     with timer.span("train"):
         mcfg = seal.DGCNNConfig(
-            feature_dim=x.shape[2],
+            feature_dim=feature_dim,
             threshold_k=threshold_k,
             learning_rate=cfg.learning_rate,
             batch_size=cfg.batch_size,
             epochs=cfg.epochs,
             seed=cfg.seed,
         )
-        params = seal.train_dgcnn(
-            mcfg,
-            d_inv[tr],
-            a_tilde[tr],
-            x[tr],
-            batch.node_mask[tr],
-            labels[tr],
-            verbose=verbose,
+        import jax
+        import optax
+
+        n = len(tr)
+        bs = min(mcfg.batch_size, n)
+        steps_per_epoch = max(n // bs, 1)
+        optimizer = optax.adam(mcfg.learning_rate)
+        key = jax.random.PRNGKey(mcfg.seed)
+        key, k_init = jax.random.split(key)
+        params = seal.init_params(k_init, feature_dim, threshold_k)
+        opt_state = optimizer.init(params)
+        batch_idx = np.concatenate(
+            [
+                tr[rng.permutation(n)[: steps_per_epoch * bs]].reshape(
+                    steps_per_epoch, bs
+                )
+                for _ in range(mcfg.epochs)
+            ]
+        ).astype(np.int32)
+        key, k_scan = jax.random.split(key)
+        params, _, losses = seal.train_scan_compact(
+            params, opt_state, k_scan, jnp.asarray(batch_idx),
+            adj_d, tags_d, nodes_d, mask_d, emb_d, y_d,
+            batch.tags_size, threshold_k, mcfg.dropout, optimizer,
+            len(batch_idx),
         )
+        if verbose:
+            l = np.asarray(losses).reshape(mcfg.epochs, steps_per_epoch)
+            print(f"loss: first epoch {l[0].mean():.4f}, last {l[-1].mean():.4f}")
     train_seconds = time.perf_counter() - t_train0
 
     with timer.span("predict"):
+        te_d = jnp.asarray(te)
         scores = np.asarray(
-            seal.predict_scores(
-                params, d_inv[te], a_tilde[te], x[te],
-                batch.node_mask[te], threshold_k,
+            seal.predict_scores_compact(
+                params, adj_d[te_d], tags_d[te_d], nodes_d[te_d],
+                mask_d[te_d], emb_d, batch.tags_size, threshold_k,
             )
         )
         auc = metrics.roc_auc_score(labels[te], scores)
