@@ -127,3 +127,30 @@ class TestTraining:
         k = seal.threshold_from_sizes(sizes, 60.0)
         assert k == int(np.percentile(sizes, 60))
         assert seal.threshold_from_sizes(np.array([2, 3]), 60.0) == seal.CONV1D_2_WIDTH
+
+
+class TestCompactInputs:
+    def test_assemble_matches_host_dense(self, rng):
+        """On-device assemble_inputs == host gnn_inputs on the same batch."""
+        import jax.numpy as jnp
+        from linkpred_tpu.data import subgraph as sg
+
+        P, K, N, D = 5, 12, 30, 7
+        adj = (rng.random((P, K, K)) < 0.3).astype(np.uint8)
+        adj = np.triu(adj, 1); adj = adj + adj.transpose(0, 2, 1)
+        sizes = rng.integers(3, K + 1, size=P).astype(np.int32)
+        mask = np.arange(K)[None, :] < sizes[:, None]
+        adj *= (mask[:, :, None] & mask[:, None, :]).astype(np.uint8)
+        tags = rng.integers(0, 4, (P, K)).astype(np.int32) * mask
+        nodes = rng.integers(0, N, (P, K)).astype(np.int32) * mask
+        emb = rng.standard_normal((N, D)).astype(np.float32)
+        batch = sg.SubgraphBatch(nodes=nodes, node_mask=mask, adj=adj,
+                                 sizes=sizes, tags=tags, tags_size=4)
+        d1, a1, x1 = sg.gnn_inputs(batch, emb)
+        d2, a2, x2 = seal.assemble_inputs(
+            jnp.asarray(adj), jnp.asarray(tags), jnp.asarray(nodes),
+            jnp.asarray(mask), jnp.asarray(emb), 4,
+        )
+        np.testing.assert_allclose(np.asarray(d2), d1, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a2), a1, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(x2), x1, rtol=1e-6)
