@@ -93,26 +93,45 @@ def build_ei2(
 class TwoWLSplit:
     """Static arrays for one split of the 2-WL pipeline.
 
-    msg: [Em, 2] directed message edges (doubled positives).
+    msg: [Em, 2] directed message edges (doubled positives; order defines
+       the XOR-partner convention, so it is never reordered).
+    msg_perm: [Em] argsort of msg dst — the 1-WL scatter runs over this
+       permutation with `indices_are_sorted=True`.
     pred: [Ep, 2] directed prediction edges (doubled).
     pos1: [Em+Ep, 2] = msg ++ pred — rows of the edge-level (2-WL) graph.
     y: [Ep/2] labels per undirected prediction pair (split 0 keeps the
        reference convention that train positives are scored out of `msg`).
-    ei2: [S, 2] capacity-padded edge-pair incidence columns.
-    ei2_mask: [S] validity (False on padding).
+
+    The ei2 edge-pair columns are stored twice, once per propagation
+    direction, each presorted by its scatter destination (capacity pads
+    carry dst = num rows and sort last; segment_sum drops them):
+    e1: messages row (a XOR 1) -> row b        (reference `edge2`)
+    e2: messages row a -> row (b XOR 1)        (reference `edge_r`)
+    e*_src holds the *message-edge id a* (the dynamic sample-block mask
+    tests `msg_mask[a]`); the dir-1 source row is a XOR 1, applied in the
+    model. e*_dst is the final scatter destination.
     """
 
     msg: np.ndarray
+    msg_perm: np.ndarray
     pred: np.ndarray
     pos1: np.ndarray
     y: np.ndarray
-    ei2: np.ndarray
-    ei2_mask: np.ndarray
+    e1_src: np.ndarray
+    e1_dst: np.ndarray
+    e1_mask: np.ndarray
+    e2_src: np.ndarray
+    e2_dst: np.ndarray
+    e2_mask: np.ndarray
     num_nodes: int
 
     @property
     def num_msg(self) -> int:
         return len(self.msg)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.pos1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,16 +144,31 @@ class TwoWLData:
     num_nodes: int
 
 
-def _pad_ei2(ei2: np.ndarray, capacity: int | None) -> tuple[np.ndarray, np.ndarray]:
+def _sorted_direction(
+    a: np.ndarray, dst: np.ndarray, mask: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort columns by scatter destination (pads already carry dst = R)."""
+    p = np.argsort(dst, kind="stable")
+    return a[p], dst[p], mask[p]
+
+
+def _pad_and_sort_ei2(
+    ei2: np.ndarray, capacity: int, num_rows: int
+) -> tuple[tuple, tuple]:
+    """Capacity-pad the ei2 columns and produce the two direction-sorted
+    views (see TwoWLSplit docstring). Pads get dst = num_rows, which sorts
+    last and is dropped by segment_sum."""
     s = len(ei2)
-    cap = capacity or s
-    if cap < s:
-        raise ValueError(f"ei2 capacity {cap} < actual {s}")
-    out = np.zeros((cap, 2), dtype=np.int32)
-    out[:s] = ei2
-    mask = np.zeros(cap, dtype=bool)
+    if capacity < s:
+        raise ValueError(f"ei2 capacity {capacity} < actual {s}")
+    pad = capacity - s
+    a = np.concatenate([ei2[:, 0], np.zeros(pad, dtype=np.int64)]).astype(np.int32)
+    b = np.concatenate([ei2[:, 1], np.zeros(pad, dtype=np.int64)]).astype(np.int32)
+    mask = np.zeros(capacity, dtype=bool)
     mask[:s] = True
-    return out, mask
+    d1 = np.where(mask, b, num_rows).astype(np.int32)
+    d2 = np.where(mask, b ^ 1, num_rows).astype(np.int32)
+    return _sorted_direction(a, d1, mask), _sorted_direction(a, d2, mask)
 
 
 def _round_capacity(s: int, bucket: int = 4096) -> int:
@@ -180,14 +214,22 @@ def build_twowl_data(
     def make(msg, pred, y):
         ei2 = build_ei2(num_nodes, msg, pred)
         cap = _round_capacity(len(ei2), ei2_bucket)
-        ei2_p, mask = _pad_ei2(ei2, cap)
+        num_rows = len(msg) + len(pred)
+        (e1_src, e1_dst, e1_mask), (e2_src, e2_dst, e2_mask) = _pad_and_sort_ei2(
+            ei2, cap, num_rows
+        )
         return TwoWLSplit(
             msg=msg,
+            msg_perm=np.argsort(msg[:, 1], kind="stable").astype(np.int32),
             pred=pred,
             pos1=np.concatenate([msg, pred], axis=0),
             y=y,
-            ei2=ei2_p,
-            ei2_mask=mask,
+            e1_src=e1_src,
+            e1_dst=e1_dst,
+            e1_mask=e1_mask,
+            e2_src=e2_src,
+            e2_dst=e2_dst,
+            e2_mask=e2_mask,
             num_nodes=num_nodes,
         )
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -128,12 +129,53 @@ def graph_norm(p, x, eps: float = 1e-5):
     return p["weight"] * centered * jax.lax.rsqrt(var + eps) + p["bias"]
 
 
-def gcn_conv(p, x, src, dst, num_rows: int, mask=None):
-    """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop)."""
+def gcn_conv(p, x, src, dst, num_rows: int, mask=None, sorted_dst: bool = False):
+    """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop).
+
+    `sorted_dst=True` when `dst` is presorted (host-sorted static edge
+    structure) — the scatter then skips XLA's per-call sort.
+    """
     h = x @ p["w"]
-    coeff, self_coeff = gcn_norm_coefficients(src, dst, num_rows, mask)
-    agg = segment_sum(h[src] * coeff[:, None], dst, num_rows)
+    coeff, self_coeff = gcn_norm_coefficients(
+        src, dst, num_rows, mask, indices_are_sorted=sorted_dst
+    )
+    agg = segment_sum(
+        h[src] * coeff[:, None], dst, num_rows, indices_are_sorted=sorted_dst
+    )
     return agg + self_coeff[:, None] * h + p["b"]
+
+
+class SplitArrays(NamedTuple):
+    """Device-resident static arrays of one TwoWL split (see
+    `data.twowl.TwoWLSplit` for the layout contract)."""
+
+    msg_src: jnp.ndarray  # [Em]
+    msg_dst: jnp.ndarray  # [Em]
+    msg_perm: jnp.ndarray  # [Em] argsort(msg_dst)
+    pos1_src: jnp.ndarray  # [R]
+    pos1_dst: jnp.ndarray  # [R]
+    e1_src: jnp.ndarray  # [S] message-edge id a; dir-1 source row = a ^ 1
+    e1_dst: jnp.ndarray  # [S] sorted scatter destination (pads = R)
+    e1_mask: jnp.ndarray  # [S]
+    e2_src: jnp.ndarray  # [S] message-edge id a = dir-2 source row
+    e2_dst: jnp.ndarray  # [S] sorted destination b ^ 1 (pads = R)
+    e2_mask: jnp.ndarray  # [S]
+
+    @staticmethod
+    def from_split(s) -> "SplitArrays":
+        return SplitArrays(
+            msg_src=jnp.asarray(s.msg[:, 0]),
+            msg_dst=jnp.asarray(s.msg[:, 1]),
+            msg_perm=jnp.asarray(s.msg_perm),
+            pos1_src=jnp.asarray(s.pos1[:, 0]),
+            pos1_dst=jnp.asarray(s.pos1[:, 1]),
+            e1_src=jnp.asarray(s.e1_src),
+            e1_dst=jnp.asarray(s.e1_dst),
+            e1_mask=jnp.asarray(s.e1_mask),
+            e2_src=jnp.asarray(s.e2_src),
+            e2_dst=jnp.asarray(s.e2_dst),
+            e2_mask=jnp.asarray(s.e2_mask),
+        )
 
 
 def _dropout(key, x, rate):
@@ -147,15 +189,19 @@ def forward(
     params,
     cfg: TwoWLConfig,
     node_deg,  # [N] int32 degree feature (masked-graph degrees in training)
-    msg_src, msg_dst,  # [Em]
-    msg_mask,  # [Em] bool (False on removed batch positives)
-    pos1_src, pos1_dst,  # [R]
-    ei2_a, ei2_b,  # [S]
-    ei2_mask,  # [S] bool
+    arrays: SplitArrays,
+    msg_mask,  # [Em] bool in ORIGINAL edge order (False on removed positives)
     sel_idx,  # [B] doubled row indices into pos1 (even count)
     key=None,  # None => eval (no dropout)
 ):
-    """Returns one logit per undirected selected pair: [B // 2]."""
+    """Returns one logit per undirected selected pair: [B // 2].
+
+    Every scatter runs over host-presorted destinations
+    (`indices_are_sorted=True`): the 1-WL message edges through `msg_perm`,
+    the two 2-WL directions through their dedicated sorted views. The
+    dynamic sample-block mask composes in by gathers (`msg_mask[perm]`,
+    `msg_mask[e*_src]`) — shapes never change.
+    """
     train = key is not None
     n_drops = 1 + cfg.depth1 + 2 * cfg.depth2
     dks = iter(jax.random.split(key, n_drops)) if train else None
@@ -164,34 +210,40 @@ def forward(
         return _dropout(next(dks), x, rate) if train else x
 
     N = node_deg.shape[0]
-    R = pos1_src.shape[0]
+    R = arrays.pos1_src.shape[0]
 
     x = params["emb"][node_deg]
     x = graph_norm(params["emb_gn"], x, cfg.eps)
     x = drop(x, cfg.dp_emb)
 
+    src_s = arrays.msg_src[arrays.msg_perm]
+    dst_s = arrays.msg_dst[arrays.msg_perm]
+    mask_s = msg_mask[arrays.msg_perm]
     for i, layer in enumerate(params["conv1"]):
-        x = gcn_conv(layer, x, msg_src, msg_dst, N, msg_mask)
+        x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True)
         x = graph_norm(layer["gn"], x, cfg.eps)
         last = i == cfg.depth1 - 1
         x = drop(x, cfg.dp_1wl1 if last else cfg.dp_1wl0)
         if (cfg.act1 if last else cfg.act0):
             x = jax.nn.relu(x)
 
-    e = x[pos1_src] * x[pos1_dst]  # [R, ch2]
+    e = x[arrays.pos1_src] * x[arrays.pos1_dst]  # [R, ch2]
 
-    # parity-reverse convention: an edge-row's partner is index XOR 1
-    a_rev = ei2_a ^ 1
-    b_rev = ei2_b ^ 1
+    # parity-reverse convention: an edge-row's partner is index XOR 1;
+    # dir-1 sources are the partners of the stored message-edge ids,
+    # dir-2 destinations are pre-XORed and pre-sorted in the data layout
+    m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
+    m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
+    src1 = arrays.e1_src ^ 1
     for i in range(cfg.depth2):
-        def branch(layer, src, dst):
-            h = gcn_conv(layer, e, src, dst, R, ei2_mask)
+        def branch(layer, src, dst, m):
+            h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True)
             h = graph_norm(layer["gn"], h, cfg.eps)
             h = drop(h, cfg.dp_2wl)
             return jax.nn.relu(h)
 
-        e = branch(params["conv2"][i], a_rev, ei2_b) + branch(
-            params["conv2r"][i], ei2_a, b_rev
+        e = branch(params["conv2"][i], src1, arrays.e1_dst, m1) + branch(
+            params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2
         )
 
     sel = e[sel_idx]  # [B, ch2]
@@ -210,13 +262,13 @@ def double_index(ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([2 * ids, 2 * ids + 1], axis=1).reshape(-1)
 
 
-def sample_block_masks(pos_ids, num_msg: int, ei2_a, ei2_mask):
+def sample_block_masks(pos_ids, num_msg: int, e_src, e_mask):
     """Masks implementing reference `sample_block` (`utils.py:60-68`):
     remove the sampled positive pairs' doubled edges from the message graph
     and mask ei2 columns sourced at a removed edge. Degrees are recomputed
     by the caller with a masked segment-sum."""
     removed = jnp.zeros((num_msg,), dtype=bool).at[double_index(pos_ids)].set(True)
-    return ~removed, ei2_mask & ~removed[ei2_a]
+    return ~removed, e_mask & ~removed[e_src]
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimizer", "num_nodes"))
@@ -226,21 +278,21 @@ def train_step(
     key,
     pos_ids,  # [P] sampled train-pos pair ids
     neg_ids,  # [P] sampled train-neg pair ids
-    msg_src, msg_dst,
-    pos1_src, pos1_dst,
-    ei2_a, ei2_b, ei2_mask,
+    arrays: SplitArrays,
     cfg: TwoWLConfig,
     optimizer,
     num_nodes: int,
 ):
-    num_msg = msg_src.shape[0]
+    num_msg = arrays.msg_src.shape[0]
     idx1 = double_index(pos_ids)
     idx2 = double_index(neg_ids) + num_msg
     removed = jnp.zeros((num_msg,), dtype=bool).at[idx1].set(True)
     msg_mask = ~removed
-    ei2_m = ei2_mask & ~removed[ei2_a]
     deg = segment_sum(
-        msg_mask.astype(jnp.int32), msg_dst, num_nodes
+        msg_mask[arrays.msg_perm].astype(jnp.int32),
+        arrays.msg_dst[arrays.msg_perm],
+        num_nodes,
+        indices_are_sorted=True,
     ).astype(jnp.int32)
 
     sel = jnp.concatenate([idx1, idx2])
@@ -250,10 +302,7 @@ def train_step(
     )
 
     def loss_fn(p):
-        logits = forward(
-            p, cfg, deg, msg_src, msg_dst, msg_mask,
-            pos1_src, pos1_dst, ei2_a, ei2_b, ei2_m, sel, key,
-        )
+        logits = forward(p, cfg, deg, arrays, msg_mask, sel, key)
         return optax.sigmoid_binary_cross_entropy(logits, y).mean(), logits
 
     (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -269,8 +318,8 @@ def train_scan(
     key,
     pos_ids_epochs,  # [E, P] per-epoch sampled train-pos pair ids
     neg_ids_epochs,  # [E, P]
-    trn,  # dict of train-split arrays
-    val,  # dict of val-split arrays
+    trn: "SplitArrays",
+    val: "SplitArrays",
     val_y,  # [num_val_pairs] float32 labels
     node_deg,  # [N] eval-time degree feature
     cfg: TwoWLConfig,
@@ -288,8 +337,8 @@ def train_scan(
     """
     from linkpred_tpu.utils.metrics import roc_auc_jax
 
-    num_msg_v = val["msg_src"].shape[0]
-    num_pred_v = val["pos1_src"].shape[0] - num_msg_v
+    num_msg_v = val.msg_src.shape[0]
+    num_pred_v = val.pos1_src.shape[0] - num_msg_v
     val_sel = num_msg_v + jnp.arange(num_pred_v, dtype=jnp.int32)
     val_msg_mask = jnp.ones((num_msg_v,), dtype=bool)
 
@@ -299,16 +348,9 @@ def train_scan(
         key, k_step = jax.random.split(key)
         params, opt_state, loss, _, _ = train_step(
             params, opt_state, k_step, pos_ids, neg_ids,
-            trn["msg_src"], trn["msg_dst"],
-            trn["pos1_src"], trn["pos1_dst"],
-            trn["ei2_a"], trn["ei2_b"], trn["ei2_mask"],
-            cfg, optimizer, num_nodes,
+            trn, cfg, optimizer, num_nodes,
         )
-        logits = forward(
-            params, cfg, node_deg, val["msg_src"], val["msg_dst"],
-            val_msg_mask, val["pos1_src"], val["pos1_dst"],
-            val["ei2_a"], val["ei2_b"], val["ei2_mask"], val_sel, None,
-        )
+        logits = forward(params, cfg, node_deg, val, val_msg_mask, val_sel, None)
         auc = roc_auc_jax(val_y, logits)
         improved = auc > best_auc
         best_params = jax.tree_util.tree_map(
@@ -328,20 +370,15 @@ def train_scan(
 def eval_scores(
     params,
     node_deg,
-    msg_src, msg_dst,
-    pos1_src, pos1_dst,
-    ei2_a, ei2_b, ei2_mask,
+    arrays: SplitArrays,
     cfg: TwoWLConfig,
     num_nodes: int,
 ):
     """Scores for every prediction pair of a split (rows after the message
     block), matching reference `test` (`train.py:50-68`)."""
-    num_msg = msg_src.shape[0]
-    num_pred = pos1_src.shape[0] - num_msg
+    num_msg = arrays.msg_src.shape[0]
+    num_pred = arrays.pos1_src.shape[0] - num_msg
     msg_mask = jnp.ones((num_msg,), dtype=bool)
     sel = num_msg + jnp.arange(num_pred, dtype=jnp.int32)
-    logits = forward(
-        params, cfg, node_deg, msg_src, msg_dst, msg_mask,
-        pos1_src, pos1_dst, ei2_a, ei2_b, ei2_mask, sel, None,
-    )
+    logits = forward(params, cfg, node_deg, arrays, msg_mask, sel, None)
     return jax.nn.sigmoid(logits)

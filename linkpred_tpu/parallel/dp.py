@@ -42,16 +42,19 @@ def replicate(mesh: Mesh, tree: Any):
     return _put(tree, NamedSharding(mesh, P()))
 
 
-def shard_twowl_split(mesh: Mesh, split_arrays: dict):
-    """Place a TwoWL split on the mesh: ei2 columns sharded over ``edge``,
-    everything else replicated (node count and edge-row count are small
-    relative to the ei2 cartesian products)."""
+def shard_twowl_split(mesh: Mesh, arrays):
+    """Place a TwoWL `SplitArrays` on the mesh: the ei2 direction columns
+    (`e1_*`/`e2_*`) shard over ``edge``, everything else replicates (node
+    count and edge-row count are small relative to the ei2 cartesian
+    products). Sharding a sorted axis keeps per-device shards sorted, so
+    the `indices_are_sorted` fast path survives partitioning."""
     edge_sharding = NamedSharding(mesh, P("edge"))
     repl = NamedSharding(mesh, P())
-    out = {}
-    for k, v in split_arrays.items():
-        if k.startswith("ei2"):
-            out[k] = jax.device_put(v, edge_sharding)
-        else:
-            out[k] = jax.device_put(v, repl)
-    return out
+    return type(arrays)(
+        **{
+            k: jax.device_put(
+                v, edge_sharding if k.startswith(("e1_", "e2_")) else repl
+            )
+            for k, v in arrays._asdict().items()
+        }
+    )

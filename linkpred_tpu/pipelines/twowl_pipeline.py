@@ -51,16 +51,8 @@ class TwoWLRunConfig:
     test_ratio: float = 0.1
 
 
-def _split_arrays(s: TwoWLSplit):
-    return dict(
-        msg_src=jnp.asarray(s.msg[:, 0]),
-        msg_dst=jnp.asarray(s.msg[:, 1]),
-        pos1_src=jnp.asarray(s.pos1[:, 0]),
-        pos1_dst=jnp.asarray(s.pos1[:, 1]),
-        ei2_a=jnp.asarray(s.ei2[:, 0]),
-        ei2_b=jnp.asarray(s.ei2[:, 1]),
-        ei2_mask=jnp.asarray(s.ei2_mask),
-    )
+def _split_arrays(s: TwoWLSplit) -> m.SplitArrays:
+    return m.SplitArrays.from_split(s)
 
 
 def evaluate(params, cfg: m.TwoWLConfig, data: TwoWLData, s: TwoWLSplit):
@@ -68,7 +60,7 @@ def evaluate(params, cfg: m.TwoWLConfig, data: TwoWLData, s: TwoWLSplit):
         m.eval_scores(
             params,
             jnp.asarray(data.node_deg),
-            **_split_arrays(s),
+            _split_arrays(s),
             cfg=cfg,
             num_nodes=data.num_nodes,
         )
@@ -112,10 +104,7 @@ def train_routine(
         key, k_step = jax.random.split(key)
         params, opt_state, loss, logits, y = m.train_step(
             params, opt_state, k_step, pos_ids, neg_ids,
-            trn["msg_src"], trn["msg_dst"],
-            trn["pos1_src"], trn["pos1_dst"],
-            trn["ei2_a"], trn["ei2_b"], trn["ei2_mask"],
-            cfg, optimizer, data.num_nodes,
+            trn, cfg, optimizer, data.num_nodes,
         )
         val_auc, _ = evaluate(params, cfg, data, data.val)
         since_best += 1

@@ -147,10 +147,7 @@ class TestEndToEnd:
         scores = np.asarray(
             m.eval_scores(
                 params, jnp.asarray(d.node_deg),
-                jnp.asarray(d.test.msg[:, 0]), jnp.asarray(d.test.msg[:, 1]),
-                jnp.asarray(d.test.pos1[:, 0]), jnp.asarray(d.test.pos1[:, 1]),
-                jnp.asarray(d.test.ei2[:, 0]), jnp.asarray(d.test.ei2[:, 1]),
-                jnp.asarray(d.test.ei2_mask),
+                m.SplitArrays.from_split(d.test),
                 cfg=cfg, num_nodes=d.num_nodes,
             )
         )
@@ -167,12 +164,7 @@ class TestEndToEnd:
         optimizer = optax.adam(cfg.learning_rate)
         opt_state = optimizer.init(params)
         trn = d.train
-        args = (
-            jnp.asarray(trn.msg[:, 0]), jnp.asarray(trn.msg[:, 1]),
-            jnp.asarray(trn.pos1[:, 0]), jnp.asarray(trn.pos1[:, 1]),
-            jnp.asarray(trn.ei2[:, 0]), jnp.asarray(trn.ei2[:, 1]),
-            jnp.asarray(trn.ei2_mask),
-        )
+        arrays = m.SplitArrays.from_split(trn)
         P = min(8, trn.num_msg // 2, len(trn.pred) // 2)
         rng = np.random.default_rng(0)
         losses = []
@@ -182,7 +174,7 @@ class TestEndToEnd:
             neg = jnp.asarray(rng.permutation(len(trn.pred) // 2)[:P].astype(np.int32))
             key, k = jax.random.split(key)
             params, opt_state, loss, logits, y = m.train_step(
-                params, opt_state, k, pos, neg, *args,
+                params, opt_state, k, pos, neg, arrays,
                 cfg=cfg, optimizer=optimizer, num_nodes=d.num_nodes,
             )
             losses.append(float(loss))
