@@ -21,7 +21,19 @@ REFERENCE_BEST_AUC = 0.8947
 
 
 def main():
+    import os
+
+    import jax
     import numpy as np
+
+    # persistent compilation cache: the axon remote compile of the fused
+    # 1000-epoch scan can take minutes cold; cached reruns take seconds
+    cache_dir = os.path.expanduser("~/.cache/jax_comp")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from linkpred_tpu.data import io
     from linkpred_tpu.data.twowl import build_twowl_data
