@@ -311,7 +311,10 @@ def train_step(
     return params, opt_state, loss, logits, y
 
 
-@partial(jax.jit, static_argnames=("cfg", "optimizer", "num_nodes", "num_epochs"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "optimizer", "num_nodes", "num_epochs", "eval_every"),
+)
 def train_scan(
     params,
     opt_state,
@@ -326,6 +329,7 @@ def train_scan(
     optimizer,
     num_nodes: int,
     num_epochs: int,
+    eval_every: int = 1,
 ):
     """Whole training run as ONE on-device `lax.scan`: per epoch, a masked
     train step plus a val-split eval with on-device AUC; the best-val
@@ -344,14 +348,26 @@ def train_scan(
 
     def epoch(carry, inp):
         params, opt_state, best_params, best_auc, key = carry
-        pos_ids, neg_ids = inp
+        epoch_idx, pos_ids, neg_ids = inp
         key, k_step = jax.random.split(key)
         params, opt_state, loss, _, _ = train_step(
             params, opt_state, k_step, pos_ids, neg_ids,
             trn, cfg, optimizer, num_nodes,
         )
-        logits = forward(params, cfg, node_deg, val, val_msg_mask, val_sel, None)
-        auc = roc_auc_jax(val_y, logits)
+
+        def do_eval(p):
+            logits = forward(p, cfg, node_deg, val, val_msg_mask, val_sel, None)
+            return roc_auc_jax(val_y, logits)
+
+        if eval_every > 1:
+            auc = jax.lax.cond(
+                epoch_idx % eval_every == eval_every - 1,
+                do_eval,
+                lambda p: jnp.float32(-1.0),
+                params,
+            )
+        else:
+            auc = do_eval(params)
         improved = auc > best_auc
         best_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(improved, new, old), params, best_params
@@ -360,8 +376,10 @@ def train_scan(
         return (params, opt_state, best_params, best_auc, key), (loss, auc)
 
     init = (params, opt_state, params, jnp.float32(0.0), key)
+    epoch_ids = jnp.arange(num_epochs, dtype=jnp.int32)
     (params, _, best_params, best_auc, _), hist = jax.lax.scan(
-        epoch, init, (pos_ids_epochs, neg_ids_epochs), length=num_epochs
+        epoch, init, (epoch_ids, pos_ids_epochs, neg_ids_epochs),
+        length=num_epochs,
     )
     return params, best_params, best_auc, hist
 

@@ -52,7 +52,14 @@ def _spmm_kernel(nbr_ref, mask_ref, x_ref, out_ref, *, block_rows, num_nodes):
     acc = jax.lax.fori_loop(
         0, D, body, jnp.zeros((block_rows, num_nodes), dtype=jnp.float32)
     )
-    out_ref[:] = jnp.dot(acc, x_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: full-f32 MXU passes — the default lowers f32 matmuls to bf16
+    # passes (~1e-3 relative error, observed 5e-2 abs on v5e)
+    out_ref[:] = jax.lax.dot_general(
+        acc, x_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(
@@ -113,8 +120,17 @@ def _sddmm_kernel(src_ref, dst_ref, x_ref, y_ref, out_ref, *, block_edges, num_n
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_edges, num_nodes), 1)
     s_hot = (row_ids == src_ref[:, 0][:, None]).astype(jnp.float32)
     t_hot = (row_ids == dst_ref[:, 0][:, None]).astype(jnp.float32)
-    xs = jnp.dot(s_hot, x_ref[:], preferred_element_type=jnp.float32)
-    yt = jnp.dot(t_hot, y_ref[:], preferred_element_type=jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    xs = jax.lax.dot_general(
+        s_hot, x_ref[:], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    yt = jax.lax.dot_general(
+        t_hot, y_ref[:], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out_ref[:] = jnp.sum(xs * yt, axis=1, keepdims=True)
 
 
