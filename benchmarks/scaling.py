@@ -18,9 +18,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def synth_powerlaw_graph(n_nodes: int, n_edges: int, alpha: float, seed: int):
@@ -41,11 +45,20 @@ def synth_powerlaw_graph(n_nodes: int, n_edges: int, alpha: float, seed: int):
 
 
 def bench(fn, warmup: int = 2, iters: int = 5) -> float:
+    """Times `fn` which must return a device array; syncs by pulling a
+    scalar reduction to the host (over the axon tunnel,
+    `block_until_ready` has been observed not to block — a host read is
+    the only trustworthy fence)."""
+    import jax.numpy as jnp
+
+    def run():
+        return float(jnp.sum(fn()))
+
     for _ in range(warmup):
-        fn()
+        run()
     t0 = time.perf_counter()
     for _ in range(iters):
-        fn()
+        run()
     return (time.perf_counter() - t0) / iters
 
 
@@ -101,7 +114,7 @@ def main():
     # --- single-device ELL SpMM -----------------------------------------
     nbr = jnp.asarray(g.nbr)
     mask = jnp.asarray(g.nbr_mask)
-    dt = bench(lambda: jax.block_until_ready(spmm.spmm_ell(nbr, mask, x)))
+    dt = bench(lambda: spmm.spmm_ell(nbr, mask, x))
     eps_1 = e_directed / dt
     print(json.dumps({"metric": "spmm_ell_single", "edges_per_s": round(eps_1),
                       "seconds": round(dt, 4)}))
@@ -111,8 +124,8 @@ def main():
     esz = mesh.shape["edge"] * mesh.shape["data"]
     src_j, dst_j = jnp.asarray(g.src), jnp.asarray(g.dst)
     (src_p, dst_p), vmask = pad_edges_for_mesh([src_j, dst_j], mesh.shape["edge"])
-    dt = bench(lambda: jax.block_until_ready(
-        spmm_edge_partitioned(mesh, src_p, dst_p, x, args.nodes, mask=vmask)
+    dt = bench(lambda: spmm_edge_partitioned(
+        mesh, src_p, dst_p, x, args.nodes, mask=vmask
     ))
     eps_n = e_directed / dt
     print(json.dumps({
@@ -128,11 +141,10 @@ def main():
         np.random.default_rng(3).integers(0, args.nodes, args.walkers)
         .astype(np.int32)
     )
-    run = lambda: jax.block_until_ready(simulate_walks(
+    dt = bench(lambda: simulate_walks(
         jax.random.PRNGKey(0), starts, eng.nbr, eng.indptr, eng.degree,
         eng.node_J, eng.node_q, eng.edge_J, eng.edge_q, args.walk_length,
     ))
-    dt = bench(run)
     hops = args.walkers * (args.walk_length - 1)
     print(json.dumps({"metric": "walk_hops_per_s", "value": round(hops / dt),
                       "seconds": round(dt, 4)}))
