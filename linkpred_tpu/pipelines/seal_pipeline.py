@@ -197,6 +197,9 @@ def run_seal(
             batch.tags_size, threshold_k, mcfg.dropout, optimizer,
             len(batch_idx),
         )
+        # force a host read so the recorded train time covers execution
+        # (block_until_ready does not reliably block over the axon tunnel)
+        final_loss = float(losses[-1])
         if verbose:
             l = np.asarray(losses).reshape(mcfg.epochs, steps_per_epoch)
             print(f"loss: first epoch {l[0].mean():.4f}, last {l[-1].mean():.4f}")
