@@ -153,6 +153,15 @@ def train_sgns(
     noise_J, noise_q = _noise_alias(counts, cfg.ns_exponent)
     keep = _keep_prob(counts, cfg.subsample)
 
+    # Batch-synchronous SGD sums colliding row updates; on tiny
+    # vocabularies a large batch piles O(batch/num_nodes) sequential-SGD
+    # steps into one linearized jump and diverges. Cap the batch at ~16
+    # pair-candidates per node (the fb-pages-food collision rate that is
+    # empirically stable at gensim's lr).
+    batch_size = max(64, min(cfg.batch_size, 16 * num_nodes))
+    if batch_size != cfg.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size=batch_size)
+
     # Pair-candidate budget per epoch. gensim trains ~2*E[reduced window]
     # ≈ `window` pairs per token; our sampler proposes candidates of which
     # only ~40-55% are valid (offset cap + range + self-pair masks), so

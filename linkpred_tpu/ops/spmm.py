@@ -11,7 +11,8 @@ provide two TPU-native layouts:
 - **ELL gather-sum** (`spmm_ell`): `[N, max_deg]` padded neighbor matrix.
   One static gather of shape `[N, max_deg, F]` and a reduction over the
   degree axis — fully dense-shaped, the layout of choice for whole-graph
-  propagation and the Pallas kernel (`linkpred_tpu.ops.pallas.spmm_ell`).
+  propagation and the Pallas kernel
+  (`linkpred_tpu.ops.pallas_kernels.spmm_ell_pallas`).
 
 Both compute `out[i] = sum_{j in N(i)} w_ij * x[j]`.
 """

@@ -39,7 +39,7 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
-def data_sharding(mesh: Mesh, *batch_axis_name: str) -> NamedSharding:
+def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the ``data`` axis."""
     return NamedSharding(mesh, P("data"))
 
