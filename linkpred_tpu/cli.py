@@ -95,6 +95,7 @@ def _cmd_compare(args):
         [r[0] for r in rows],
         [r[1][0] if r[1] else None for r in rows],
         "assets/img/compare_auc.png",
+        times=[r[1][1] if r[1] else None for r in rows],
     )
     print(f"wrote {out}")
 

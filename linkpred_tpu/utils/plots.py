@@ -50,18 +50,25 @@ def plot_family_comparison(
     aucs: Sequence[Optional[float]],
     out_path: str,
     title: str = "Best test ROC-AUC per model family",
+    times: Sequence[Optional[float]] | None = None,
 ) -> str:
+    """AUC bar chart, optionally annotated with wall times — the Compare
+    view of `pages/🛠️Model.py:51-70` (which annotates bars with the
+    recorded times)."""
     plt = _plt()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig, ax = plt.subplots(figsize=(5, 4))
     xs = np.arange(len(families))
     vals = [a if a is not None else 0.0 for a in aucs]
     ax.bar(xs, vals)
-    for x, v in zip(xs, vals):
-        ax.text(x, v + 0.005, f"{v:.4f}", ha="center", fontsize=9)
+    for i, (x, v) in enumerate(zip(xs, vals)):
+        label = f"{v:.4f}"
+        if times is not None and times[i] is not None:
+            label += f"\n{times[i]:.2f}s"
+        ax.text(x, v + 0.005, label, ha="center", fontsize=9)
     ax.set_xticks(xs)
     ax.set_xticklabels(families)
-    ax.set_ylim(0, 1.05)
+    ax.set_ylim(0, 1.1)
     ax.set_ylabel("ROC-AUC")
     ax.set_title(title)
     fig.tight_layout()
