@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--walkers", type=int, default=65_536)
     ap.add_argument("--walk-length", type=int, default=16)
     ap.add_argument("--max-degree", type=int, default=64)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                    help="feature dtype for the SpMM measurements")
     args = ap.parse_args()
 
     import jax
@@ -106,10 +108,11 @@ def main():
     print(json.dumps({"graph_nodes": args.nodes, "directed_edges": e_directed,
                       "max_degree": g.max_degree}))
 
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     x = jnp.asarray(
         np.random.default_rng(2).standard_normal(
             (args.nodes, args.feats)).astype(np.float32)
-    )
+    ).astype(dtype)
 
     # --- single-device ELL SpMM -----------------------------------------
     nbr = jnp.asarray(g.nbr)
