@@ -129,14 +129,21 @@ def graph_norm(p, x, eps: float = 1e-5):
     return p["weight"] * centered * jax.lax.rsqrt(var + eps) + p["bias"]
 
 
-def gcn_conv(p, x, src, dst, num_rows: int, mask=None, sorted_dst: bool = False):
+def gcn_conv(
+    p, x, src, dst, num_rows: int, mask=None, sorted_dst: bool = False,
+    norm=None,
+):
     """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop).
 
     `sorted_dst=True` when `dst` is presorted (host-sorted static edge
-    structure) — the scatter then skips XLA's per-call sort.
+    structure) — the scatter then skips XLA's per-call sort. `norm` is an
+    optional precomputed (edge_coeff, self_coeff) pair: the coefficients
+    depend only on the (masked) edge structure, so stacked layers over the
+    same graph compute them once (the reference recomputes inside every
+    PyG GCNConv).
     """
     h = x @ p["w"]
-    coeff, self_coeff = gcn_norm_coefficients(
+    coeff, self_coeff = norm if norm is not None else gcn_norm_coefficients(
         src, dst, num_rows, mask, indices_are_sorted=sorted_dst
     )
     agg = segment_sum(
@@ -219,8 +226,9 @@ def forward(
     src_s = arrays.msg_src[arrays.msg_perm]
     dst_s = arrays.msg_dst[arrays.msg_perm]
     mask_s = msg_mask[arrays.msg_perm]
+    norm1 = gcn_norm_coefficients(src_s, dst_s, N, mask_s, indices_are_sorted=True)
     for i, layer in enumerate(params["conv1"]):
-        x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True)
+        x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True, norm=norm1)
         x = graph_norm(layer["gn"], x, cfg.eps)
         last = i == cfg.depth1 - 1
         x = drop(x, cfg.dp_1wl1 if last else cfg.dp_1wl0)
@@ -235,15 +243,19 @@ def forward(
     m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
     m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
     src1 = arrays.e1_src ^ 1
+    normA = gcn_norm_coefficients(src1, arrays.e1_dst, R, m1, indices_are_sorted=True)
+    normB = gcn_norm_coefficients(
+        arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True
+    )
     for i in range(cfg.depth2):
-        def branch(layer, src, dst, m):
-            h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True)
+        def branch(layer, src, dst, m, norm):
+            h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True, norm=norm)
             h = graph_norm(layer["gn"], h, cfg.eps)
             h = drop(h, cfg.dp_2wl)
             return jax.nn.relu(h)
 
-        e = branch(params["conv2"][i], src1, arrays.e1_dst, m1) + branch(
-            params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2
+        e = branch(params["conv2"][i], src1, arrays.e1_dst, m1, normA) + branch(
+            params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2, normB
         )
 
     sel = e[sel_idx]  # [B, ch2]
