@@ -186,10 +186,25 @@ class SplitArrays(NamedTuple):
 
 
 def _dropout(key, x, rate):
-    if rate <= 0.0:
+    if isinstance(rate, float) and rate <= 0.0:
         return x
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+class DropRates(NamedTuple):
+    """Dropout rates as traced scalars — vmappable across trials (the
+    architecture stays static in TwoWLConfig; rates and learning rate are
+    data, so a whole refinement sweep trains in one vmapped program)."""
+
+    dp_emb: jnp.ndarray
+    dp_1wl0: jnp.ndarray
+    dp_1wl1: jnp.ndarray
+    dp_2wl: jnp.ndarray
+
+    @staticmethod
+    def from_config(cfg: "TwoWLConfig") -> "DropRates":
+        return DropRates(cfg.dp_emb, cfg.dp_1wl0, cfg.dp_1wl1, cfg.dp_2wl)
 
 
 def forward(
@@ -200,6 +215,7 @@ def forward(
     msg_mask,  # [Em] bool in ORIGINAL edge order (False on removed positives)
     sel_idx,  # [B] doubled row indices into pos1 (even count)
     key=None,  # None => eval (no dropout)
+    rates: "DropRates | None" = None,  # traced dropout rates (default: cfg)
 ):
     """Returns one logit per undirected selected pair: [B // 2].
 
@@ -212,6 +228,7 @@ def forward(
     train = key is not None
     n_drops = 1 + cfg.depth1 + 2 * cfg.depth2
     dks = iter(jax.random.split(key, n_drops)) if train else None
+    r = rates if rates is not None else DropRates.from_config(cfg)
 
     def drop(x, rate):
         return _dropout(next(dks), x, rate) if train else x
@@ -221,7 +238,7 @@ def forward(
 
     x = params["emb"][node_deg]
     x = graph_norm(params["emb_gn"], x, cfg.eps)
-    x = drop(x, cfg.dp_emb)
+    x = drop(x, r.dp_emb)
 
     src_s = arrays.msg_src[arrays.msg_perm]
     dst_s = arrays.msg_dst[arrays.msg_perm]
@@ -231,7 +248,7 @@ def forward(
         x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True, norm=norm1)
         x = graph_norm(layer["gn"], x, cfg.eps)
         last = i == cfg.depth1 - 1
-        x = drop(x, cfg.dp_1wl1 if last else cfg.dp_1wl0)
+        x = drop(x, r.dp_1wl1 if last else r.dp_1wl0)
         if (cfg.act1 if last else cfg.act0):
             x = jax.nn.relu(x)
 
@@ -251,7 +268,7 @@ def forward(
         def branch(layer, src, dst, m, norm):
             h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True, norm=norm)
             h = graph_norm(layer["gn"], h, cfg.eps)
-            h = drop(h, cfg.dp_2wl)
+            h = drop(h, r.dp_2wl)
             return jax.nn.relu(h)
 
         e = branch(params["conv2"][i], src1, arrays.e1_dst, m1, normA) + branch(
@@ -294,6 +311,7 @@ def train_step(
     cfg: TwoWLConfig,
     optimizer,
     num_nodes: int,
+    rates: "DropRates | None" = None,
 ):
     num_msg = arrays.msg_src.shape[0]
     idx1 = double_index(pos_ids)
@@ -314,7 +332,7 @@ def train_step(
     )
 
     def loss_fn(p):
-        logits = forward(p, cfg, deg, arrays, msg_mask, sel, key)
+        logits = forward(p, cfg, deg, arrays, msg_mask, sel, key, rates)
         return optax.sigmoid_binary_cross_entropy(logits, y).mean(), logits
 
     (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -342,6 +360,7 @@ def train_scan(
     num_nodes: int,
     num_epochs: int,
     eval_every: int = 1,
+    rates: "DropRates | None" = None,
 ):
     """Whole training run as ONE on-device `lax.scan`: per epoch, a masked
     train step plus a val-split eval with on-device AUC; the best-val
@@ -364,7 +383,7 @@ def train_scan(
         key, k_step = jax.random.split(key)
         params, opt_state, loss, _, _ = train_step(
             params, opt_state, k_step, pos_ids, neg_ids,
-            trn, cfg, optimizer, num_nodes,
+            trn, cfg, optimizer, num_nodes, rates,
         )
 
         def do_eval(p):

@@ -200,3 +200,19 @@ class TestFusedScan:
             res["best_val"], float(res["history"].max()), rtol=1e-5
         )
         assert 0.0 <= res["test_auc"] <= 1.0
+
+
+class TestVmappedRefine:
+    def test_refine_runs_and_selects(self, toy_data):
+        from linkpred_tpu.pipelines.twowl_pipeline import (
+            TwoWLRunConfig, refine_vmapped,
+        )
+
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1)
+        res = refine_vmapped(d, cfg, TwoWLRunConfig(epochs=8), n_trials=3)
+        assert res["val_aucs"].shape == (3,)
+        assert res["best_val"] == pytest.approx(res["val_aucs"].max())
+        assert 0.0 <= res["test_auc"] <= 1.0
+        assert set(res["winner"]) == {"lr", "dp_emb", "dp_1wl0", "dp_1wl1", "dp_2wl"}
