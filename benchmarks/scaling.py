@@ -62,7 +62,56 @@ def bench(fn, warmup: int = 2, iters: int = 5) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _dispatch_floor() -> float:
+    """Measured round-trip cost of dispatching a trivial program and
+    reading one scalar back — ~23 ms over the axon tunnel, ~50 us on a
+    local backend. Cached per process."""
+    global _FLOOR
+    if _FLOOR is None:
+        import jax
+        import jax.numpy as jnp
+
+        noop = jax.jit(lambda s: s + 1.0)
+        s = jnp.float32(0)
+        float(noop(s))  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(noop(s))
+        _FLOOR = (time.perf_counter() - t0) / 3
+    return _FLOOR
+
+
+_FLOOR = None
+
+
+def bench_chained(step, x0, *ops, k: int = 20, iters: int = 2) -> float:
+    """Per-iteration seconds of ``step(x, *ops) -> x'`` (x: [N, F]),
+    measured as K chained applications inside ONE jit with a single
+    host-read sync, minus the measured dispatch/round-trip floor.
+    Per-call timing over the axon tunnel is dominated by ~23 ms of RPC
+    latency; chaining amortizes it away (docs/KERNELS.md, methodology).
+    Pass large operands (neighbor lists, edge indices) through ``ops`` —
+    closure-captured device arrays are baked into the program as
+    constants and shipped with the remote-compile request."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_k(x, *ops):
+        return jax.lax.fori_loop(0, k, lambda i, x: step(x, *ops), x)
+
+    floor = _dispatch_floor()
+    float(jnp.sum(run_k(x0, *ops)))  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(jnp.sum(run_k(x0, *ops)))
+    per_call = (time.perf_counter() - t0) / iters
+    return max(per_call - floor, 1e-9) / k
+
+
 def main():
+    from linkpred_tpu.utils.device import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=235_000)
     ap.add_argument("--edges", type=int, default=1_280_000)
@@ -120,6 +169,15 @@ def main():
     dt = bench(lambda: spmm.spmm_ell(nbr, mask, x))
     eps_1 = e_directed / dt
     print(json.dumps({"metric": "spmm_ell_single", "edges_per_s": round(eps_1),
+                      "seconds": round(dt, 4)}))
+
+    # degree-bucketed ELL — the large-graph fast path (docs/KERNELS.md)
+    layout = spmm.BucketedEll.from_graph(g)
+    dt = bench_chained(
+        lambda x, *ops: spmm.spmm_bucketed(x, args.nodes, *ops),
+        x, *layout.operands())
+    print(json.dumps({"metric": "spmm_bucketed_single",
+                      "edges_per_s": round(e_directed / dt),
                       "seconds": round(dt, 4)}))
 
     # --- edge-partitioned SpMM over the mesh ----------------------------

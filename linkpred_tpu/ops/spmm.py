@@ -13,16 +13,22 @@ provide two TPU-native layouts:
   degree axis — fully dense-shaped, the layout of choice for whole-graph
   propagation and the Pallas kernel
   (`linkpred_tpu.ops.pallas_kernels.spmm_ell_pallas`).
+- **Degree-bucketed ELL** (`BucketedEll` + `spmm_bucketed`): sub-ELLs of
+  power-of-two width per degree class — the fast path for large power-law
+  graphs (no scatter, ~1.3x slot padding; measured 3.2x over COO in bf16
+  at ogbl-collab scale, docs/KERNELS.md).
 
 Both compute `out[i] = sum_{j in N(i)} w_ij * x[j]`.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from linkpred_tpu.ops.segment import segment_sum
 
@@ -95,6 +101,106 @@ def spmm_ell_blocked(
     args = (nbr_b, mask_b, w_p) if w_p is not None else (nbr_b, mask_b)
     out = jax.lax.map(one_block, args)
     return out.reshape(nblocks * block_rows, -1)[:n]
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketedEll:
+    """Degree-bucketed ELL layout — the production large-graph SpMM plan.
+
+    Flat ELL pads every row to the global max degree; on power-law graphs
+    that wastes ~max_degree/avg_degree of all gather traffic (8x at
+    ogbl-collab scale). Bucketing groups nodes by degree into
+    power-of-two-width sub-ELLs so total gathered slots stay within ~1.3x
+    of the true edge count, and the aggregation per bucket is a dense
+    gather + einsum reduction — no scatter anywhere (each node belongs to
+    exactly one bucket, so results merge with disjoint sorted row
+    `.set`s). Measured on the chip this beats COO gather+segment_sum 3.2x
+    in bf16 and 1.4x in f32 at 235k nodes / 1.9M edges (docs/KERNELS.md).
+
+    Build once on the host from a `Graph`'s ELL view; fields are numpy,
+    `operands()` ships them to device as a flat tuple so jitted callers
+    can pass them as arguments (closure capture would bake them into the
+    compiled program as constants).
+    """
+
+    num_nodes: int
+    num_edges: int
+    # per bucket: (row_ids [n_b], nbr [n_b, w_b], weight [n_b, w_b] f32)
+    buckets: tuple[tuple[np.ndarray, np.ndarray, np.ndarray], ...]
+
+    @staticmethod
+    def build(
+        nbr: np.ndarray,
+        nbr_mask: np.ndarray,
+        nbr_weight: np.ndarray | None = None,
+        min_width: int = 4,
+    ) -> "BucketedEll":
+        nbr = np.asarray(nbr)
+        mask = np.asarray(nbr_mask)
+        n, d = nbr.shape
+        deg = mask.sum(axis=1).astype(np.int64)
+        w = mask.astype(np.float32)
+        if nbr_weight is not None:
+            w = w * np.asarray(nbr_weight, dtype=np.float32)
+        widths = []
+        width = max(1, min_width)
+        while True:
+            widths.append(min(width, d))
+            if width >= d:
+                break
+            width *= 2
+        buckets = []
+        prev = 0
+        for wd in widths:
+            ids = np.where((deg > prev) & (deg <= wd))[0].astype(np.int32)
+            prev = wd
+            if len(ids) == 0:
+                continue
+            buckets.append(
+                (ids, nbr[ids, :wd].copy(), w[ids, :wd].copy())
+            )
+        return BucketedEll(
+            num_nodes=n, num_edges=int(deg.sum()), buckets=tuple(buckets)
+        )
+
+    @staticmethod
+    def from_graph(g, transpose: bool = False) -> "BucketedEll":
+        """Layout for `out[i] = sum_j w_ij x[nbr_ij]` over a `Graph`'s ELL
+        view (rows = src side; for aggregation into dst on an asymmetric
+        directed graph, build from the reversed graph instead)."""
+        del transpose  # Graph stores one orientation; callers reverse.
+        return BucketedEll.build(g.nbr, g.nbr_mask, g.nbr_weight)
+
+    def operands(self):
+        """Flat tuple of device-shippable arrays for jitted `spmm_bucketed`."""
+        import jax.numpy as jnp
+
+        out = []
+        for ids, nb, w in self.buckets:
+            out.extend((jnp.asarray(ids), jnp.asarray(nb), jnp.asarray(w)))
+        return tuple(out)
+
+
+def spmm_bucketed(x: jnp.ndarray, num_nodes: int, *operands) -> jnp.ndarray:
+    """out[i] = sum_d w[i, d] * x[nbr[i, d]] over a `BucketedEll` layout.
+
+    `operands` is `BucketedEll.operands()` splatted: (ids, nbr, weight)
+    triples. Weights arrive f32; they are cast to `x.dtype` so the whole
+    aggregation runs in the feature dtype (bf16 halves gather bytes — the
+    measured fast path at scale). Jit-safe: bucket count/shapes are static.
+    """
+    # f32 einsums otherwise lower to bf16 MXU passes (~1e-2 abs error on
+    # high-degree rows, observed on v5e); bf16 inputs keep the fast default
+    prec = (jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    out = jnp.zeros((num_nodes, x.shape[1]), x.dtype)
+    for i in range(0, len(operands), 3):
+        ids, nb, w = operands[i], operands[i + 1], operands[i + 2]
+        agg = jnp.einsum("nd,ndf->nf", w.astype(x.dtype), x[nb],
+                         precision=prec)
+        out = out.at[ids].set(agg, unique_indices=True,
+                              indices_are_sorted=True)
+    return out
 
 
 def gcn_aggregate(

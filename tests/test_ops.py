@@ -102,3 +102,35 @@ def test_segment_mean(rng):
         m = ids == s
         if m.any():
             np.testing.assert_allclose(np.asarray(out[s]), data[m].mean(axis=0), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_bucketed_matches_dense(small, rng):
+    g, x = small
+    # out rows follow the ELL orientation (rows = src side of Graph's ELL),
+    # which for an undirected graph equals the dense symmetric aggregate
+    layout = spmm.BucketedEll.from_graph(g)
+    assert layout.num_edges == g.num_edges
+    slots = sum(nb.size for _, nb, _ in layout.buckets)
+    assert slots <= 2 * g.num_edges + 4 * g.num_nodes
+    fn = jax.jit(spmm.spmm_bucketed, static_argnums=1)
+    out = fn(jnp.asarray(x), g.num_nodes, *layout.operands())
+    np.testing.assert_allclose(np.asarray(out), dense_ref(g, x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_bucketed_weighted_and_isolated(rng):
+    # graph with isolated nodes (never in any bucket -> zero rows) and
+    # per-edge weights
+    n = 12
+    src = np.array([0, 0, 1, 3, 3, 3, 3, 3], dtype=np.int32)
+    dst = np.array([1, 2, 2, 0, 1, 2, 4, 5], dtype=np.int32)
+    w = rng.standard_normal(len(src)).astype(np.float32)
+    g = Graph.from_edges(src, dst, num_nodes=n, weight=w)
+    x = rng.standard_normal((n, 5)).astype(np.float32)
+    layout = spmm.BucketedEll.from_graph(g)
+    out = spmm.spmm_bucketed(jnp.asarray(x), n, *layout.operands())
+    expect = np.zeros((n, 5), np.float32)
+    for e in range(len(src)):
+        expect[src[e]] += w[e] * x[dst[e]]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(out)[6:] == 0)
