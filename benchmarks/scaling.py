@@ -4,9 +4,11 @@ Synthetic power-law graph at ogbl-collab size (~235k nodes, ~1.28M edges —
 the BASELINE.json scale-up config; the real dataset is not fetchable in this
 zero-egress image). Measures:
 
-- ELL SpMM aggregation throughput (edges/sec) single-device,
-- edge-partitioned COO SpMM throughput over the mesh (edges/sec) and its
-  scaling efficiency vs single-device,
+- ELL and degree-bucketed SpMM aggregation throughput (edges/sec)
+  single-device,
+- edge-partitioned COO SpMM over the mesh (legacy scatter+psum path),
+- node-partitioned bucketed SpMM over an all-devices mesh and its
+  scaling efficiency vs the single-device bucketed rate,
 - sharded random-walk step throughput (node-hops/sec).
 
 Run on the virtual CPU mesh (JAX_PLATFORMS=cpu,
@@ -194,6 +196,36 @@ def main():
         "edge_axis": mesh.shape["edge"], "edges_per_s": round(eps_n),
         "seconds": round(dt, 4),
         "efficiency_vs_single": round(eps_n / eps_1, 3),
+    }))
+
+    # --- node-partitioned bucketed SpMM over the mesh --------------------
+    # scaling efficiency = rate over an all-devices ``edge`` mesh vs the
+    # single-device bucketed rate, both with chained timing (same local
+    # kernel, so this isolates the collective + partition-imbalance cost).
+    # NOTE on the virtual CPU mesh this efficiency is structurally
+    # pessimistic: the 8 "devices" share one host's cores and memory
+    # bandwidth, so the single-device baseline already uses the whole
+    # machine. Real relative numbers need real chips.
+    from linkpred_tpu.parallel.spmm_shard import (
+        build_node_sharded_buckets,
+        spmm_node_sharded,
+    )
+
+    n_shards = len(jax.devices())
+    mesh_all = make_mesh(shape=(1, n_shards))
+    rows, _, stacked = build_node_sharded_buckets(g, n_shards)
+    stacked_j = tuple(jnp.asarray(a) for a in stacked)
+    eps_b1 = e_directed / bench_chained(
+        lambda x, *ops: spmm.spmm_bucketed(x, args.nodes, *ops),
+        x, *layout.operands())
+    dt = bench_chained(
+        lambda x, *ops: spmm_node_sharded(mesh_all, x, args.nodes, rows, *ops),
+        x, *stacked_j)
+    eps = e_directed / dt
+    print(json.dumps({
+        "metric": "spmm_node_sharded_bucketed", "shards": n_shards,
+        "edges_per_s": round(eps), "seconds": round(dt, 4),
+        "scaling_efficiency": round(eps / (eps_b1 * n_shards), 3),
     }))
 
     # --- walk throughput -------------------------------------------------

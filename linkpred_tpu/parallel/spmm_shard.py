@@ -58,6 +58,103 @@ def spmm_edge_partitioned(
     return fn(src, dst, x, w, mm)
 
 
+def build_node_sharded_buckets(g, n_shards: int):
+    """Host-side layout for `spmm_node_sharded`: contiguous node blocks per
+    device, each with its own degree-bucketed ELL (`ops.spmm.BucketedEll`),
+    bucket arrays padded to equal shapes across shards and stacked on a
+    leading device axis.
+
+    Local row ids within a shard are offsets into its block; padding rows
+    point past the block (row `rows_per_shard + j`) so every `.set` target
+    stays unique and sorted — the local aggregation keeps the scatter-free
+    fast path (docs/KERNELS.md).
+
+    Returns `(rows_per_shard, bucket_widths, stacked)` where `stacked` is a
+    flat tuple of numpy arrays: per bucket `(ids [S, m], nbr [S, m, w],
+    wgt [S, m, w])`.
+    """
+    import numpy as np
+
+    from linkpred_tpu.ops.spmm import BucketedEll
+
+    n = g.num_nodes
+    rows = -(-n // n_shards)
+    per_shard = []
+    for k in range(n_shards):
+        lo, hi = k * rows, min((k + 1) * rows, n)
+        nbr = g.nbr[lo:hi]
+        mask = g.nbr_mask[lo:hi]
+        w = g.nbr_weight[lo:hi] if g.nbr_weight is not None else None
+        per_shard.append(BucketedEll.build(nbr, mask, w))
+    # unify bucket width sets across shards
+    widths = sorted({nb.shape[1] for lay in per_shard for _, nb, _ in lay.buckets})
+    stacked = []
+    for wd in widths:
+        sizes = []
+        for lay in per_shard:
+            m = next((b[0].shape[0] for b in lay.buckets
+                      if b[1].shape[1] == wd), 0)
+            sizes.append(m)
+        m_max = max(max(sizes), 1)
+        ids_s = np.zeros((n_shards, m_max), np.int32)
+        nbr_s = np.zeros((n_shards, m_max, wd), np.int32)
+        wgt_s = np.zeros((n_shards, m_max, wd), np.float32)
+        for k, lay in enumerate(per_shard):
+            b = next((b for b in lay.buckets if b[1].shape[1] == wd), None)
+            m = 0
+            if b is not None:
+                ids, nb, wg = b
+                m = ids.shape[0]
+                ids_s[k, :m] = ids
+                nbr_s[k, :m] = nb
+                wgt_s[k, :m] = wg
+            # padding rows target rows beyond the block -> unique + sorted
+            ids_s[k, m:] = rows + np.arange(m_max - m, dtype=np.int32)
+        stacked.extend((ids_s, nbr_s, wgt_s))
+    return rows, widths, tuple(stacked)
+
+
+def spmm_node_sharded(
+    mesh: Mesh,
+    x: jnp.ndarray,  # [N_pad? no: N, F] node features (replicated)
+    num_nodes: int,
+    rows_per_shard: int,
+    *stacked,  # build_node_sharded_buckets(...)[2], as device arrays
+    axis: str = "edge",
+) -> jnp.ndarray:
+    """Node(row)-partitioned bucketed SpMM over the mesh.
+
+    Each device aggregates its own contiguous row block with the
+    scatter-free bucketed-ELL kernel, gathering from the replicated `x`
+    with *global* neighbor ids; out rows assemble across the `axis` mesh
+    dimension (out_specs `P(axis)` — GSPMD inserts the collective when a
+    consumer needs other rows). Local compute is gather+einsum only, so
+    the per-chip rate matches the single-chip fast path; the collective
+    is [N, F]-sized, independent of E.
+    """
+    n_shards = mesh.shape[axis]
+    pad_rows = rows_per_shard * n_shards
+
+    def local(x_rep, *ops):
+        # extra row region absorbs padding-row writes
+        out = jnp.zeros((rows_per_shard + max(r.shape[1] for r in ops[::3]),
+                         x_rep.shape[1]), x_rep.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if x_rep.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        for i in range(0, len(ops), 3):
+            ids, nb, wg = ops[i][0], ops[i + 1][0], ops[i + 2][0]
+            agg = jnp.einsum("nd,ndf->nf", wg.astype(x_rep.dtype), x_rep[nb],
+                             precision=prec)
+            out = out.at[ids].set(agg, unique_indices=True,
+                                  indices_are_sorted=True)
+        return out[:rows_per_shard]
+
+    in_specs = (P(),) + (P(axis),) * len(stacked)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
+    out = fn(x, *stacked)
+    return out[:num_nodes] if pad_rows > num_nodes else out
+
+
 def pad_edges_for_mesh(arrs, axis_size: int, pad_value=0):
     """Pad 1-D edge arrays to a multiple of the mesh axis size; returns
     (padded_arrays, valid_mask)."""

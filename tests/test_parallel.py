@@ -70,3 +70,30 @@ class TestDryrun:
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
         assert out.shape[0] > 0
+
+
+class TestNodeShardedBucketed:
+    def test_matches_dense(self, mesh, rng):
+        from linkpred_tpu.parallel.spmm_shard import (
+            build_node_sharded_buckets,
+            spmm_node_sharded,
+        )
+
+        n = 77  # not divisible by the edge axis -> exercises row padding
+        pairs = np.stack(
+            [rng.integers(0, n, 300), rng.integers(0, n, 300)], axis=1
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        g = Graph.from_undirected_edges(pairs[:, 0], pairs[:, 1], num_nodes=n)
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        rows, widths, stacked = build_node_sharded_buckets(
+            g, mesh.shape["edge"]
+        )
+        out = np.asarray(
+            spmm_node_sharded(
+                mesh, jnp.asarray(x), n, rows,
+                *[jnp.asarray(a) for a in stacked],
+            )
+        )
+        dense = g.dense_adjacency() @ x
+        np.testing.assert_allclose(out, dense, rtol=1e-4, atol=1e-4)
