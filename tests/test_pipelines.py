@@ -73,3 +73,16 @@ class TestPipelines:
         assert os.path.exists(
             "records_auc/fb-pages-food_auc_record_logistic.txt"
         )
+
+    def test_seal_two_hop_stress(self):
+        """BASELINE.json stress config: 2-hop enclosing subgraphs with
+        node2vec features fused — exercises the sampler's frontier
+        expansion + max_neighbors truncation + padding at hop 2."""
+        from linkpred_tpu.pipelines.seal_pipeline import SEALConfig, run_seal
+
+        res = run_seal(
+            SEALConfig(epochs=3, dimension=32, max_neighbors=40, hop=2),
+            verbose=False,
+        )
+        assert res["hop"] == 2
+        assert res["auc"] > 0.75
