@@ -38,7 +38,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from linkpred_tpu.ops.segment import gcn_norm_coefficients, segment_sum
+from linkpred_tpu.ops.segment import (
+    SegmentPlan,
+    gcn_norm_coefficients,
+    segment_sum,
+    segment_sum_planned,
+    take_rows,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +137,7 @@ def graph_norm(p, x, eps: float = 1e-5):
 
 def gcn_conv(
     p, x, src, dst, num_rows: int, mask=None, sorted_dst: bool = False,
-    norm=None,
+    norm=None, plan=None,
 ):
     """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop).
 
@@ -140,15 +146,19 @@ def gcn_conv(
     optional precomputed (edge_coeff, self_coeff) pair: the coefficients
     depend only on the (masked) edge structure, so stacked layers over the
     same graph compute them once (the reference recomputes inside every
-    PyG GCNConv).
+    PyG GCNConv). `plan` is an optional `SegmentPlan.operands()` tuple for
+    `dst` — the aggregation then runs scatter-free (and vmaps without the
+    serialized-batched-scatter penalty; see ops.segment.SegmentPlan).
     """
     h = x @ p["w"]
     coeff, self_coeff = norm if norm is not None else gcn_norm_coefficients(
         src, dst, num_rows, mask, indices_are_sorted=sorted_dst
     )
-    agg = segment_sum(
-        h[src] * coeff[:, None], dst, num_rows, indices_are_sorted=sorted_dst
-    )
+    msgs = h[src] * coeff[:, None]
+    if plan is not None:
+        agg = segment_sum_planned(num_rows, msgs, *plan)
+    else:
+        agg = segment_sum(msgs, dst, num_rows, indices_are_sorted=sorted_dst)
     return agg + self_coeff[:, None] * h + p["b"]
 
 
@@ -167,9 +177,20 @@ class SplitArrays(NamedTuple):
     e2_src: jnp.ndarray  # [S] message-edge id a = dir-2 source row
     e2_dst: jnp.ndarray  # [S] sorted destination b ^ 1 (pads = R)
     e2_mask: jnp.ndarray  # [S]
+    # scatter-free SegmentPlan.operands() for the three static structures
+    # (sorted msg dst over nodes; e1/e2 dst over pos1 rows)
+    msg_plan: tuple
+    e1_plan: tuple
+    e2_plan: tuple
 
     @staticmethod
     def from_split(s) -> "SplitArrays":
+        R = len(s.pos1)
+        msg_plan = SegmentPlan.build(
+            s.msg[s.msg_perm][:, 1], s.num_nodes
+        ).operands()
+        e1_plan = SegmentPlan.build(s.e1_dst, R).operands()
+        e2_plan = SegmentPlan.build(s.e2_dst, R).operands()
         return SplitArrays(
             msg_src=jnp.asarray(s.msg[:, 0]),
             msg_dst=jnp.asarray(s.msg[:, 1]),
@@ -182,6 +203,9 @@ class SplitArrays(NamedTuple):
             e2_src=jnp.asarray(s.e2_src),
             e2_dst=jnp.asarray(s.e2_dst),
             e2_mask=jnp.asarray(s.e2_mask),
+            msg_plan=msg_plan,
+            e1_plan=e1_plan,
+            e2_plan=e2_plan,
         )
 
 
@@ -243,9 +267,13 @@ def forward(
     src_s = arrays.msg_src[arrays.msg_perm]
     dst_s = arrays.msg_dst[arrays.msg_perm]
     mask_s = msg_mask[arrays.msg_perm]
-    norm1 = gcn_norm_coefficients(src_s, dst_s, N, mask_s, indices_are_sorted=True)
+    norm1 = gcn_norm_coefficients(
+        src_s, dst_s, N, mask_s, indices_are_sorted=True,
+        plan=arrays.msg_plan,
+    )
     for i, layer in enumerate(params["conv1"]):
-        x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True, norm=norm1)
+        x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True,
+                     norm=norm1, plan=arrays.msg_plan)
         x = graph_norm(layer["gn"], x, cfg.eps)
         last = i == cfg.depth1 - 1
         x = drop(x, r.dp_1wl1 if last else r.dp_1wl0)
@@ -260,19 +288,28 @@ def forward(
     m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
     m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
     src1 = arrays.e1_src ^ 1
-    normA = gcn_norm_coefficients(src1, arrays.e1_dst, R, m1, indices_are_sorted=True)
+    normA = gcn_norm_coefficients(
+        src1, arrays.e1_dst, R, m1, indices_are_sorted=True,
+        plan=arrays.e1_plan,
+    )
     normB = gcn_norm_coefficients(
-        arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True
+        arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True,
+        plan=arrays.e2_plan,
     )
     for i in range(cfg.depth2):
-        def branch(layer, src, dst, m, norm):
-            h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True, norm=norm)
+        def branch(layer, src, dst, m, norm, plan):
+            h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True,
+                         norm=norm, plan=plan)
             h = graph_norm(layer["gn"], h, cfg.eps)
             h = drop(h, r.dp_2wl)
             return jax.nn.relu(h)
 
-        e = branch(params["conv2"][i], src1, arrays.e1_dst, m1, normA) + branch(
-            params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2, normB
+        e = branch(
+            params["conv2"][i], src1, arrays.e1_dst, m1, normA,
+            arrays.e1_plan,
+        ) + branch(
+            params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2, normB,
+            arrays.e2_plan,
         )
 
     sel = e[sel_idx]  # [B, ch2]
@@ -318,11 +355,9 @@ def train_step(
     idx2 = double_index(neg_ids) + num_msg
     removed = jnp.zeros((num_msg,), dtype=bool).at[idx1].set(True)
     msg_mask = ~removed
-    deg = segment_sum(
-        msg_mask[arrays.msg_perm].astype(jnp.int32),
-        arrays.msg_dst[arrays.msg_perm],
-        num_nodes,
-        indices_are_sorted=True,
+    deg = segment_sum_planned(
+        num_nodes, msg_mask[arrays.msg_perm].astype(jnp.float32),
+        *arrays.msg_plan,
     ).astype(jnp.int32)
 
     sel = jnp.concatenate([idx1, idx2])
@@ -361,6 +396,7 @@ def train_scan(
     num_epochs: int,
     eval_every: int = 1,
     rates: "DropRates | None" = None,
+    init_best=None,  # optional (best_params, best_auc) from a prior chunk
 ):
     """Whole training run as ONE on-device `lax.scan`: per epoch, a masked
     train step plus a val-split eval with on-device AUC; the best-val
@@ -368,7 +404,14 @@ def train_scan(
     round-trips of the reference's loop (`train.py:86-107`) — on TPU the
     full 1000-epoch routine is a single device program.
 
-    Returns (final_params, best_params, best_val_auc, per-epoch (loss, val_auc)).
+    `init_best` seeds the best-val carry so a long run can be CHUNKED into
+    several scan calls: the axon TPU worker kills any single device
+    program at ~60 s wall (measured), so pipelines split the epoch axis
+    and thread (params, opt_state, best) through identical-shape chunks
+    (one compile, reused).
+
+    Returns (final_params, final_opt_state, best_params, best_val_auc,
+    per-epoch (loss, val_auc)).
     """
     from linkpred_tpu.utils.metrics import roc_auc_jax
 
@@ -406,13 +449,16 @@ def train_scan(
         best_auc = jnp.where(improved, auc, best_auc)
         return (params, opt_state, best_params, best_auc, key), (loss, auc)
 
-    init = (params, opt_state, params, jnp.float32(0.0), key)
+    best_p0, best_a0 = (
+        init_best if init_best is not None else (params, jnp.float32(0.0))
+    )
+    init = (params, opt_state, best_p0, best_a0, key)
     epoch_ids = jnp.arange(num_epochs, dtype=jnp.int32)
-    (params, _, best_params, best_auc, _), hist = jax.lax.scan(
+    (params, opt_state, best_params, best_auc, _), hist = jax.lax.scan(
         epoch, init, (epoch_ids, pos_ids_epochs, neg_ids_epochs),
         length=num_epochs,
     )
-    return params, best_params, best_auc, hist
+    return params, opt_state, best_params, best_auc, hist
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_nodes"))
@@ -431,3 +477,280 @@ def eval_scores(
     sel = num_msg + jnp.arange(num_pred, dtype=jnp.int32)
     logits = forward(params, cfg, node_deg, arrays, msg_mask, sel, None)
     return jax.nn.sigmoid(logits)
+
+
+# ---------------------------------------------------------------------------
+# trial-major multi-trial training (the TPU-shaped hyperparameter sweep)
+# ---------------------------------------------------------------------------
+#
+# Measured XLA-on-TPU fact (docs/KERNELS.md): gathers and scatters with a
+# leading vmap batch dimension SERIALIZE (~14-30x slower than the same work
+# laid out in trailing dims). An outer `jax.vmap` over sweep trials is
+# therefore useless for this model — every embedding lookup, message
+# gather and planned segment-sum would serialize. The trial-major layout
+# keeps the trial axis in TRAILING dims instead: features are [rows, T, C],
+# row-indexed parameters put T after the index axis (emb: [D+1, T, C]),
+# and every gather stays a fast leading-axis gather; matmuls become
+# einsum-batched MXU calls. One compiled program trains T models at once.
+
+TRIAL_EMB_PATH = "emb"
+
+
+def init_params_trials(key, cfg: TwoWLConfig, n_trials: int):
+    """Per-trial params: leaves get a trial axis — axis 0 everywhere except
+    the degree-embedding table, which keeps its index axis leading
+    ([max_degree+1, T, C]) so lookups are leading-axis gathers."""
+    ks = jax.random.split(key, n_trials)
+    p = jax.vmap(lambda k: init_params(k, cfg))(ks)
+    p["emb"] = jnp.moveaxis(p["emb"], 0, 1)
+    return p
+
+
+def _trial_axes(params):
+    """Pytree of ints: which axis of each leaf is the trial axis."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: 1 if (
+            len(path) == 1
+            and getattr(path[0], "key", None) == TRIAL_EMB_PATH
+        ) else 0,
+        params,
+    )
+
+
+def _bcast_trial(v, leaf_ndim: int, axis: int):
+    shape = [1] * leaf_ndim
+    shape[axis] = v.shape[0]
+    return v.reshape(shape)
+
+
+def extract_trial(params, i: int):
+    """Single-trial params (standard layout) from a trial-major pytree."""
+    axes = _trial_axes(params)
+    return jax.tree_util.tree_map(
+        lambda leaf, ax: jnp.take(leaf, i, axis=ax), params, axes
+    )
+
+
+def _gcn_conv_trials(p, x, src, coeff, self_coeff, num_rows, plan):
+    """x [R, T, C_in] -> [R', T, C_out]; p leaves carry trial axis 0."""
+    h = jnp.einsum("rtc,tcd->rtd", x, p["w"])
+    msgs = take_rows(h, src) * coeff[:, None, None]
+    agg = segment_sum_planned(num_rows, msgs, *plan)
+    return agg + self_coeff[:, None, None] * h + p["b"][None]
+
+
+class TrialRates(NamedTuple):
+    """Per-trial dropout rates, each [T]."""
+
+    dp_emb: jnp.ndarray
+    dp_1wl0: jnp.ndarray
+    dp_1wl1: jnp.ndarray
+    dp_2wl: jnp.ndarray
+
+
+def _dropout_trials(key, x, rate_t):
+    # x [R, T, C], rate_t [T] -> independent masks per trial
+    keep_p = 1.0 - rate_t[:, None]  # [T, 1] broadcasts over [R, T, C]
+    keep = jax.random.bernoulli(key, keep_p, x.shape)
+    return jnp.where(keep, x / keep_p, 0.0)
+
+
+def forward_trials(
+    params,
+    cfg: TwoWLConfig,
+    node_deg,
+    arrays: SplitArrays,
+    msg_mask,
+    sel_idx,
+    key=None,
+    rates: "TrialRates | None" = None,
+):
+    """Trial-major forward: one program scoring T models; returns
+    logits [B // 2, T]."""
+    train = key is not None
+    n_drops = 1 + cfg.depth1 + 2 * cfg.depth2
+    dks = iter(jax.random.split(key, n_drops)) if train else None
+
+    def drop(x, rate_t):
+        return _dropout_trials(next(dks), x, rate_t) if train else x
+
+    N = node_deg.shape[0]
+    R = arrays.pos1_src.shape[0]
+
+    x = take_rows(params["emb"], node_deg)  # [N, T, C]
+    x = graph_norm(params["emb_gn"], x, cfg.eps)
+    if train:
+        x = drop(x, rates.dp_emb)
+
+    src_s = arrays.msg_src[arrays.msg_perm]
+    dst_s = arrays.msg_dst[arrays.msg_perm]
+    mask_s = msg_mask[arrays.msg_perm]
+    coeff1, self1 = gcn_norm_coefficients(
+        src_s, dst_s, N, mask_s, indices_are_sorted=True,
+        plan=arrays.msg_plan,
+    )
+    for i, layer in enumerate(params["conv1"]):
+        x = _gcn_conv_trials(layer, x, src_s, coeff1, self1, N,
+                             arrays.msg_plan)
+        x = graph_norm(layer["gn"], x, cfg.eps)
+        last = i == cfg.depth1 - 1
+        if train:
+            x = drop(x, rates.dp_1wl1 if last else rates.dp_1wl0)
+        if (cfg.act1 if last else cfg.act0):
+            x = jax.nn.relu(x)
+
+    e = take_rows(x, arrays.pos1_src) * take_rows(x, arrays.pos1_dst)
+
+    m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
+    m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
+    src1 = arrays.e1_src ^ 1
+    coeffA, selfA = gcn_norm_coefficients(
+        src1, arrays.e1_dst, R, m1, indices_are_sorted=True,
+        plan=arrays.e1_plan,
+    )
+    coeffB, selfB = gcn_norm_coefficients(
+        arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True,
+        plan=arrays.e2_plan,
+    )
+    for i in range(cfg.depth2):
+        def branch(layer, src, coeff, selfc, plan):
+            h = _gcn_conv_trials(layer, e, src, coeff, selfc, R, plan)
+            h = graph_norm(layer["gn"], h, cfg.eps)
+            if train:
+                h = drop(h, rates.dp_2wl)
+            return jax.nn.relu(h)
+
+        e = branch(params["conv2"][i], src1, coeffA, selfA,
+                   arrays.e1_plan) + branch(
+            params["conv2r"][i], arrays.e2_src, coeffB, selfB,
+            arrays.e2_plan,
+        )
+
+    sel = take_rows(e, sel_idx)  # [B, T, C]
+    paired = sel[0::2] * sel[1::2]
+    logits = jnp.einsum("btc,tco->bto", paired, params["pred_w"])[..., 0]
+    return logits + params["pred_b"][None, :, 0]
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "num_nodes"))
+def train_step_trials(
+    params,
+    opt_state,
+    key,
+    pos_ids,
+    neg_ids,
+    arrays: SplitArrays,
+    cfg: TwoWLConfig,
+    optimizer,  # optax.adam(1.0); per-trial lr applied to its updates
+    lrs,  # [T] learning rates
+    num_nodes: int,
+    rates: TrialRates,
+):
+    """One step of T simultaneous trials (shared batch schedule, per-trial
+    params/dropout/lr). Per-trial Adam with lr via update scaling: Adam's
+    direction is invariant to gradient scale, so scaling the unit-lr
+    updates by lr_t is exactly per-trial Adam."""
+    num_msg = arrays.msg_src.shape[0]
+    idx1 = double_index(pos_ids)
+    idx2 = double_index(neg_ids) + num_msg
+    removed = jnp.zeros((num_msg,), dtype=bool).at[idx1].set(True)
+    msg_mask = ~removed
+    deg = segment_sum_planned(
+        num_nodes, msg_mask[arrays.msg_perm].astype(jnp.float32),
+        *arrays.msg_plan,
+    ).astype(jnp.int32)
+
+    sel = jnp.concatenate([idx1, idx2])
+    y = jnp.concatenate(
+        [jnp.ones_like(pos_ids, dtype=jnp.float32),
+         jnp.zeros_like(neg_ids, dtype=jnp.float32)]
+    )
+
+    def loss_fn(p):
+        logits = forward_trials(p, cfg, deg, arrays, msg_mask, sel, key, rates)
+        per_trial = optax.sigmoid_binary_cross_entropy(
+            logits, y[:, None]
+        ).mean(axis=0)  # [T]
+        return per_trial.sum(), per_trial
+
+    (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    axes = _trial_axes(updates)
+    updates = jax.tree_util.tree_map(
+        lambda u, ax: u * _bcast_trial(lrs, u.ndim, ax), updates, axes
+    )
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, losses
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "optimizer", "num_nodes", "num_epochs"),
+)
+def train_scan_trials(
+    params,
+    opt_state,
+    key,
+    pos_ids_epochs,  # [E, P] shared across trials
+    neg_ids_epochs,
+    trn: SplitArrays,
+    val: SplitArrays,
+    val_y,
+    node_deg,
+    cfg: TwoWLConfig,
+    optimizer,
+    lrs,  # [T]
+    num_nodes: int,
+    num_epochs: int,
+    rates: TrialRates,
+    init_best=None,  # optional (best_params, best_aucs) from a prior chunk
+):
+    """Whole T-trial sweep as one `lax.scan`: per epoch, one trial-major
+    step + per-trial val AUC; best-val params tracked per trial.
+
+    `init_best` seeds the best-val carry for chunked long runs (the axon
+    TPU worker kills single device programs at ~60 s wall; see
+    `train_scan`).
+
+    Returns (final_params, final_opt_state, best_params, best_val_aucs [T],
+    history (losses [E, T], aucs [E, T]))."""
+    from linkpred_tpu.utils.metrics import roc_auc_trials
+
+    num_msg_v = val.msg_src.shape[0]
+    num_pred_v = val.pos1_src.shape[0] - num_msg_v
+    val_sel = num_msg_v + jnp.arange(num_pred_v, dtype=jnp.int32)
+    val_msg_mask = jnp.ones((num_msg_v,), dtype=bool)
+    n_trials = lrs.shape[0]
+    axes = _trial_axes(params)
+
+    def epoch(carry, inp):
+        params, opt_state, best_params, best_auc, key = carry
+        pos_ids, neg_ids = inp
+        key, k_step = jax.random.split(key)
+        params, opt_state, losses = train_step_trials(
+            params, opt_state, k_step, pos_ids, neg_ids,
+            trn, cfg, optimizer, lrs, num_nodes, rates,
+        )
+        logits = forward_trials(
+            params, cfg, node_deg, val, val_msg_mask, val_sel, None, None
+        )  # [V, T]
+        auc = roc_auc_trials(val_y, logits)  # [T]
+        improved = auc > best_auc
+        best_params = jax.tree_util.tree_map(
+            lambda new, old, ax: jnp.where(
+                _bcast_trial(improved, new.ndim, ax), new, old
+            ),
+            params, best_params, axes,
+        )
+        best_auc = jnp.where(improved, auc, best_auc)
+        return (params, opt_state, best_params, best_auc, key), (losses, auc)
+
+    best_p0, best_a0 = (
+        init_best if init_best is not None
+        else (params, jnp.full((n_trials,), -1.0, jnp.float32))
+    )
+    init = (params, opt_state, best_p0, best_a0, key)
+    (params, opt_state, best_params, best_auc, _), hist = jax.lax.scan(
+        epoch, init, (pos_ids_epochs, neg_ids_epochs), length=num_epochs
+    )
+    return params, opt_state, best_params, best_auc, hist

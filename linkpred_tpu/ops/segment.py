@@ -11,10 +11,24 @@ masked/dropped dynamically (e.g. TwoWL's `sample_block` leakage masking).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather that is ALWAYS fast on TPU: measured, XLA serializes any
+    gather whose operand has more than one trailing dim (3-D gathers and
+    vmap-batched gathers run ~30x slower than the same bytes as a 2-D
+    [rows, cols] gather — docs/KERNELS.md). Flattens trailing dims, does a
+    2-D take, reshapes back. `idx` may be any integer shape."""
+    tail = x.shape[1:]
+    flat = x.reshape(x.shape[0], -1) if len(tail) != 1 else x
+    out = flat[idx]
+    return out.reshape(idx.shape + tail)
 
 
 def segment_sum(
@@ -78,6 +92,7 @@ def gcn_norm_coefficients(
     mask: jnp.ndarray | None = None,
     add_self_loops: bool = True,
     indices_are_sorted: bool = False,
+    plan: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric GCN normalization `1/sqrt(d_u d_v)` per edge.
 
@@ -89,10 +104,15 @@ def gcn_norm_coefficients(
     Returns (edge_coeff [E], self_loop_coeff [N]); the self-loop contribution
     is applied densely by the caller (keeps the edge arrays static).
     """
-    deg = segment_sum(
-        jnp.ones_like(dst, dtype=jnp.float32), dst, num_nodes, mask,
-        indices_are_sorted=indices_are_sorted,
-    )
+    ones = jnp.ones_like(dst, dtype=jnp.float32)
+    if mask is not None:
+        ones = ones * mask.astype(jnp.float32)
+    if plan is not None:
+        deg = segment_sum_planned(num_nodes, ones, *plan)
+    else:
+        deg = segment_sum(
+            ones, dst, num_nodes, indices_are_sorted=indices_are_sorted
+        )
     if add_self_loops:
         deg = deg + 1.0
     dinv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
@@ -101,3 +121,138 @@ def gcn_norm_coefficients(
         coeff = coeff * mask.astype(coeff.dtype)
     self_coeff = dinv * dinv if add_self_loops else jnp.zeros_like(dinv)
     return coeff, self_coeff
+
+
+# ---------------------------------------------------------------------------
+# planned (scatter-free) segment sum for static segment structures
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentPlan:
+    """Host-built, scatter-free plan for a *static* segment structure.
+
+    Two measured XLA-on-TPU facts motivate this (docs/KERNELS.md): the
+    scatter-add inside `segment_sum` runs at ~5% of HBM peak, and a
+    *vmapped* scatter serializes (14x slower than the same work batched
+    into columns) — which cripples vmapped-trials training. When segment
+    ids are known on the host (TwoWL's message/ei2 structures; any static
+    graph), the sum can instead be planned as pure gathers:
+
+    - slots grouped per segment into degree-bucketed `[m_b, w_b]` position
+      matrices (power-of-two widths, sentinel `num_slots` pads),
+    - forward: gather + width-axis reduce per bucket, concatenate, then
+      one gather by a precomputed inverse permutation reorders segment
+      rows (count-0 segments point at a zero row) — no scatter anywhere,
+    - backward (custom VJP): the slots partition the segment rows, so the
+      cotangent is exactly `g[segment_id]` per slot — one gather; JAX's
+      default would emit a scatter here too.
+
+    Both directions are gathers, so `jax.vmap` batches them natively.
+    Masking composes by zeroing message rows (weights) before the sum.
+    """
+
+    num_segments: int
+    num_slots: int
+    dst_clipped: np.ndarray  # [S] int32 ids, >= num_segments -> sentinel
+    inv_perm: np.ndarray  # [num_segments] int32 into concat-of-buckets
+    slot_buckets: tuple  # of int32 [m_b, w_b] slot-position matrices
+
+    @staticmethod
+    def build(segment_ids: np.ndarray, num_segments: int,
+              min_width: int = 4) -> "SegmentPlan":
+        ids = np.asarray(segment_ids, dtype=np.int64).reshape(-1)
+        s = ids.shape[0]
+        valid = (ids >= 0) & (ids < num_segments)
+        counts = np.bincount(ids[valid], minlength=num_segments)
+        order = np.argsort(ids[valid], kind="stable")
+        slot_pos = np.nonzero(valid)[0][order].astype(np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+
+        max_c = int(counts.max()) if num_segments else 0
+        widths = []
+        w = max(1, min_width)
+        while True:
+            widths.append(min(w, max(max_c, 1)))
+            if w >= max_c:
+                break
+            w *= 2
+        inv_perm = np.full(num_segments, -1, dtype=np.int64)
+        slot_buckets = []
+        offset = 0
+        prev = 0
+        for wd in widths:
+            segs = np.nonzero((counts > prev) & (counts <= wd))[0]
+            prev = wd
+            if len(segs) == 0:
+                continue
+            m = len(segs)
+            mat = np.full((m, wd), s, dtype=np.int32)  # sentinel pad
+            for r, seg in enumerate(segs):
+                c = counts[seg]
+                mat[r, :c] = slot_pos[starts[seg]:starts[seg] + c]
+            inv_perm[segs] = offset + np.arange(m)
+            offset += m
+            slot_buckets.append(mat)
+        inv_perm[inv_perm < 0] = offset  # count-0 segments -> zero row
+        return SegmentPlan(
+            num_segments=num_segments,
+            num_slots=s,
+            dst_clipped=np.minimum(ids, num_segments).astype(np.int32),
+            inv_perm=inv_perm.astype(np.int32),
+            slot_buckets=tuple(slot_buckets),
+        )
+
+    def operands(self):
+        """Flat tuple of device arrays for `segment_sum_planned` — valid
+        pytree leaves, so plans ride inside jitted containers."""
+        return (
+            jnp.asarray(self.dst_clipped),
+            jnp.asarray(self.inv_perm),
+            tuple(jnp.asarray(b) for b in self.slot_buckets),
+        )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def segment_sum_planned(num_segments: int, msgs, dst, inv_perm, slot_buckets):
+    """Scatter-free segment sum over a `SegmentPlan`.
+
+    `msgs` [S, ...] -> [num_segments, ...]; `(dst, inv_perm, slot_buckets)`
+    come from `SegmentPlan.operands()` (slot_buckets is a tuple).
+    Equivalent to `segment_sum(msgs, ids, num_segments)` for the plan's
+    static ids, but both forward and backward are pure gathers
+    (vmap-friendly, fast on TPU — see class docstring).
+    """
+    return _planned_fwd_impl(msgs, inv_perm, slot_buckets)
+
+
+def _planned_fwd_impl(msgs, inv_perm, slot_buckets):
+    # all gathers in flattened-2-D form (see take_rows): TPU serializes
+    # gathers with >1 trailing dim
+    tail = msgs.shape[1:]
+    flat = msgs.reshape(msgs.shape[0], -1)
+    ext = jnp.concatenate(
+        [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
+    )
+    parts = [ext[b].sum(axis=1) for b in slot_buckets]
+    parts.append(jnp.zeros((1, flat.shape[1]), flat.dtype))
+    out = jnp.concatenate(parts, axis=0)[inv_perm]
+    return out.reshape((out.shape[0],) + tail)
+
+
+def _planned_fwd(num_segments, msgs, dst, inv_perm, slot_buckets):
+    return _planned_fwd_impl(msgs, inv_perm, slot_buckets), (dst,)
+
+
+def _planned_bwd(num_segments, res, g):
+    (dst,) = res
+    tail = g.shape[1:]
+    flat = g.reshape(g.shape[0], -1)
+    g_ext = jnp.concatenate(
+        [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
+    )
+    out = g_ext[dst]
+    return (out.reshape((dst.shape[0],) + tail), None, None, None)
+
+
+segment_sum_planned.defvjp(_planned_fwd, _planned_bwd)

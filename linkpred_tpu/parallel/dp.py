@@ -50,10 +50,15 @@ def shard_twowl_split(mesh: Mesh, arrays):
     the `indices_are_sorted` fast path survives partitioning."""
     edge_sharding = NamedSharding(mesh, P("edge"))
     repl = NamedSharding(mesh, P())
+    # the SegmentPlan operand tuples (`*_plan`) are index plans with
+    # bucket-shaped arrays — they replicate (GSPMD handles the gathers)
     return type(arrays)(
         **{
             k: jax.device_put(
-                v, edge_sharding if k.startswith(("e1_", "e2_")) else repl
+                v,
+                edge_sharding
+                if k.startswith(("e1_", "e2_")) and not k.endswith("_plan")
+                else repl,
             )
             for k, v in arrays._asdict().items()
         }

@@ -44,6 +44,7 @@ from linkpred_tpu.utils.timer import StepTimer
 class TwoWLRunConfig:
     epochs: int = 1000
     early_stop: int = 800
+    chunk_epochs: int = 250  # scan chunk size (axon 60 s program limit)
     seed: int = 0
     dataset: str = "fb-pages-food"
     records_dir: str = records.DEFAULT_RECORDS_DIR
@@ -166,13 +167,31 @@ def train_routine_fused(
         [rng.permutation(n_neg_pairs)[:P] for _ in range(E)]
     ).astype(np.int32)
 
-    key, k_scan = jax.random.split(key)
-    _, best_params, best_auc, hist = m.train_scan(
-        params, opt_state, k_scan,
-        jnp.asarray(pos_ids), jnp.asarray(neg_ids),
-        trn, val, jnp.asarray(data.val.y),
-        jnp.asarray(data.node_deg),
-        cfg, optimizer, data.num_nodes, E,
+    # chunk the fused scan: the axon TPU worker kills any single device
+    # program at ~60 s wall (measured, docs/KERNELS.md); identical-shape
+    # chunks compile once and thread the (params, opt, best) carry through
+    chunk = min(E, run.chunk_epochs)
+    # explicit initial best: passing None for the first chunk and a tuple
+    # after changes the arg pytree structure and forces a second compile
+    best = (params, jnp.float32(0.0))
+    hists = []
+    val_y = jnp.asarray(data.val.y)
+    node_deg = jnp.asarray(data.node_deg)
+    for start in range(0, E, chunk):
+        stop = min(start + chunk, E)
+        key, k_scan = jax.random.split(key)
+        params, opt_state, best_p, best_a, h = m.train_scan(
+            params, opt_state, k_scan,
+            jnp.asarray(pos_ids[start:stop]), jnp.asarray(neg_ids[start:stop]),
+            trn, val, val_y, node_deg,
+            cfg, optimizer, data.num_nodes, stop - start,
+            init_best=best,
+        )
+        best = (best_p, best_a)
+        hists.append(h)
+    best_params, best_auc = best
+    hist = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *hists
     )
     best_val = float(best_auc)
 
@@ -202,12 +221,15 @@ def refine_vmapped(
     rng: np.random.Generator | None = None,
     verbose: bool = False,
 ) -> dict:
-    """Vmapped refinement sweep: with the architecture fixed (cfg's
+    """Trial-major refinement sweep: with the architecture fixed (cfg's
     channels/depths/acts), train `n_trials` (learning-rate x dropout)
-    configurations SIMULTANEOUSLY — one compiled program, trials batched
-    on the leading axis, shared graph arrays broadcast. This is the
-    TPU-shaped version of Optuna's sequential trials: the chip trains 32
-    models in roughly the wall time of one.
+    configurations SIMULTANEOUSLY in ONE compiled program. The trial axis
+    lives in trailing dims (`models.twowl` trial-major section), not an
+    outer vmap — measured on the chip, XLA serializes batched
+    gathers/scatters, so a vmapped sweep runs no faster than sequential
+    trials while the trial-major layout gets near-ideal throughput. This
+    is the TPU-shaped version of Optuna's sequential trials: the chip
+    trains 32 models in a fraction of the sequential wall time.
 
     Returns per-trial val AUCs, the best trial's test AUC and params.
     """
@@ -217,22 +239,21 @@ def refine_vmapped(
     lrs = np.asarray(
         rng.choice(SEARCH_SPACE["lr"], size=n_trials)
     ).astype(np.float32)
-    rates = m.DropRates(
+    rates = m.TrialRates(
         dp_emb=jnp.asarray(rng.choice(SEARCH_SPACE["dp_emb"], n_trials), jnp.float32),
         dp_1wl0=jnp.asarray(rng.choice(SEARCH_SPACE["dp_1wl0"], n_trials), jnp.float32),
         dp_1wl1=jnp.asarray(rng.choice(SEARCH_SPACE["dp_1wl1"], n_trials), jnp.float32),
         dp_2wl=jnp.asarray(rng.choice(SEARCH_SPACE["dp_2wl"], n_trials), jnp.float32),
     )
 
-    # per-trial optimizer lr via injected hyperparams (lr lives in the
-    # optimizer STATE, so it vmaps like any other leaf)
-    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
+    # unit-lr Adam; per-trial lr is applied by scaling its updates
+    # (Adam's direction is gradient-scale invariant, so this IS per-trial
+    # Adam — see models.twowl.train_step_trials)
+    optimizer = optax.adam(1.0)
 
     key, k_init = jax.random.split(key)
-    init_keys = jax.random.split(k_init, n_trials)
-    params = jax.vmap(lambda k: m.init_params(k, cfg))(init_keys)
-    opt_state = jax.vmap(optimizer.init)(params)
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lrs)
+    params = m.init_params_trials(k_init, cfg, n_trials)
+    opt_state = optimizer.init(params)
 
     trn = _split_arrays(data.train)
     val = _split_arrays(data.val)
@@ -247,20 +268,24 @@ def refine_vmapped(
         [rng.permutation(n_neg_pairs)[:P] for _ in range(E)]
     ).astype(np.int32))
 
-    key, k_scan = jax.random.split(key)
-    scan_keys = jax.random.split(k_scan, n_trials)
-
-    def one_trial(p, o, k, r):
-        out = m.train_scan(
-            p, o, k, pos_ids, neg_ids, trn, val,
-            jnp.asarray(data.val.y), jnp.asarray(data.node_deg),
-            cfg, optimizer, data.num_nodes, E, rates=r,
+    # chunk the sweep scan (axon worker 60 s single-program limit);
+    # explicit initial best avoids a None-vs-tuple recompile on chunk 2
+    chunk = min(E, run.chunk_epochs)
+    best = (params, jnp.full((n_trials,), -1.0, jnp.float32))
+    val_y = jnp.asarray(data.val.y)
+    node_deg = jnp.asarray(data.node_deg)
+    lrs_j = jnp.asarray(lrs)
+    for start in range(0, E, chunk):
+        stop = min(start + chunk, E)
+        key, k_scan = jax.random.split(key)
+        params, opt_state, best_p, best_a, _ = m.train_scan_trials(
+            params, opt_state, k_scan,
+            pos_ids[start:stop], neg_ids[start:stop], trn, val,
+            val_y, node_deg, cfg, optimizer, lrs_j, data.num_nodes,
+            stop - start, rates, init_best=best,
         )
-        return out[1], out[2]  # (best_params, best_val_auc)
-
-    best_params, best_aucs = jax.vmap(
-        one_trial, in_axes=(0, 0, 0, 0)
-    )(params, opt_state, scan_keys, rates)
+        best = (best_p, best_a)
+    best_params, best_aucs = best
 
     return _finish_refine(
         data, cfg, best_params, best_aucs, lrs, rates, verbose
@@ -270,7 +295,7 @@ def refine_vmapped(
 def _finish_refine(data, cfg, best_params, best_aucs, lrs, rates, verbose):
     best_aucs = np.asarray(best_aucs)
     winner = int(best_aucs.argmax())
-    winner_params = jax.tree_util.tree_map(lambda a: a[winner], best_params)
+    winner_params = m.extract_trial(best_params, winner)
     tst_auc, tst_scores = evaluate(winner_params, cfg, data, data.test)
     fpr, tpr, _ = metrics.roc_curve(data.test.y, tst_scores)
     if verbose:

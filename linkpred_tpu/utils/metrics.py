@@ -86,3 +86,18 @@ def accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     y_true = np.asarray(y_true).reshape(-1)
     y_pred = np.asarray(y_pred).reshape(-1)
     return float((y_true == y_pred).mean())
+
+
+def roc_auc_trials(y_true: "jnp.ndarray", scores: "jnp.ndarray") -> "jnp.ndarray":
+    """Jit-able AUC per trial column: `y_true` [V], `scores` [V, T] -> [T].
+
+    Scatter-free rank statistic (rank = double argsort along the sample
+    axis) — the `.at[order].set` ranks of `roc_auc_jax` are a scatter,
+    which XLA serializes when batched (docs/KERNELS.md); sorts batch fine.
+    """
+    y = y_true.reshape(-1, 1).astype(jnp.float32)
+    ranks = jnp.argsort(jnp.argsort(scores, axis=0), axis=0) + 1
+    n_pos = jnp.sum(y)
+    n_neg = y.shape[0] - n_pos
+    pos_rank_sum = jnp.sum(ranks.astype(scores.dtype) * y, axis=0)
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)

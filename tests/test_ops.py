@@ -134,3 +134,34 @@ def test_spmm_bucketed_weighted_and_isolated(rng):
         expect[src[e]] += w[e] * x[dst[e]]
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
     assert np.all(np.asarray(out)[6:] == 0)
+
+
+def test_segment_plan_matches_segment_sum(rng):
+    from linkpred_tpu.ops.segment import (
+        SegmentPlan,
+        segment_sum_planned,
+    )
+
+    S, R = 400, 23
+    # unsorted ids with out-of-range capacity pads (== R)
+    ids = rng.integers(0, R + 1, S).astype(np.int32)
+    plan = SegmentPlan.build(ids, R)
+    dst, inv, buckets = plan.operands()
+    msgs = jnp.asarray(rng.standard_normal((S, 5)).astype(np.float32))
+    out = segment_sum_planned(R, msgs, dst, inv, buckets)
+    ref = segment.segment_sum(msgs, jnp.asarray(ids), R)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # VJP equals the default autodiff of segment_sum
+    g = jax.grad(lambda m: jnp.sum(
+        segment_sum_planned(R, m, dst, inv, buckets) ** 2))(msgs)
+    gr = jax.grad(lambda m: jnp.sum(
+        segment.segment_sum(m, jnp.asarray(ids), R) ** 2))(msgs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+    # vmap of grad (the refinement-sweep pattern)
+    b = jnp.stack([msgs, 2 * msgs])
+    gg = jax.vmap(jax.grad(lambda m: jnp.sum(
+        segment_sum_planned(R, m, dst, inv, buckets) ** 2)))(b)
+    np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)

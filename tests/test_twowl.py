@@ -216,3 +216,88 @@ class TestVmappedRefine:
         assert res["best_val"] == pytest.approx(res["val_aucs"].max())
         assert 0.0 <= res["test_auc"] <= 1.0
         assert set(res["winner"]) == {"lr", "dp_emb", "dp_1wl0", "dp_1wl1", "dp_2wl"}
+
+
+class TestTrialMajor:
+    def test_forward_trials_matches_single(self, rng):
+        """Trial-major forward must equal the single-trial forward per
+        extracted trial (eval mode, no dropout)."""
+        import jax
+        import jax.numpy as jnp
+
+        from linkpred_tpu.data.twowl import build_twowl_data
+        from linkpred_tpu.models import twowl as m
+
+        n = 40
+        pairs = np.stack(
+            [rng.integers(0, n, 160), rng.integers(0, n, 160)], axis=1
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        d = build_twowl_data(pairs, n, rng=rng)
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=2, depth2=2)
+        T = 3
+        params_t = m.init_params_trials(jax.random.PRNGKey(0), cfg, T)
+        arrays = m.SplitArrays.from_split(d.val)
+        num_msg = d.val.num_msg
+        sel = num_msg + jnp.arange(len(d.val.pred), dtype=jnp.int32)
+        mask = jnp.ones((num_msg,), bool)
+        deg = jnp.asarray(d.node_deg)
+        out_t = np.asarray(m.forward_trials(
+            params_t, cfg, deg, arrays, mask, sel, None, None))
+        for i in range(T):
+            p_i = m.extract_trial(params_t, i)
+            out_i = np.asarray(m.forward(p_i, cfg, deg, arrays, mask, sel))
+            np.testing.assert_allclose(out_t[:, i], out_i,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_train_scan_trials_learns(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from linkpred_tpu.data.twowl import build_twowl_data
+        from linkpred_tpu.models import twowl as m
+        from linkpred_tpu.utils.metrics import roc_auc_trials
+
+        n = 40
+        pairs = np.stack(
+            [rng.integers(0, n, 200), rng.integers(0, n, 200)], axis=1
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        d = build_twowl_data(pairs, n, rng=rng)
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1)
+        T, E = 2, 12
+        params = m.init_params_trials(jax.random.PRNGKey(1), cfg, T)
+        opt = optax.adam(1.0)
+        ostate = opt.init(params)
+        trn = m.SplitArrays.from_split(d.train)
+        val = m.SplitArrays.from_split(d.val)
+        npp = d.train.num_msg // 2
+        nnp = len(d.train.pred) // 2
+        P = min(len(d.val.y), npp, nnp)
+        pos = jnp.asarray(np.stack(
+            [rng.permutation(npp)[:P] for _ in range(E)]).astype(np.int32))
+        neg = jnp.asarray(np.stack(
+            [rng.permutation(nnp)[:P] for _ in range(E)]).astype(np.int32))
+        rates = m.TrialRates(*[jnp.zeros((T,), jnp.float32)] * 4)
+        lrs = jnp.asarray([0.01, 0.001], jnp.float32)
+        _, _, best_p, best_auc, hist = m.train_scan_trials(
+            params, ostate, jax.random.PRNGKey(2), pos, neg, trn, val,
+            jnp.asarray(d.val.y), jnp.asarray(d.node_deg),
+            cfg, opt, lrs, d.num_nodes, E, rates,
+        )
+        losses, aucs = hist
+        assert losses.shape == (E, T) and aucs.shape == (E, T)
+        assert np.all(np.asarray(best_auc) > 0)
+        # per-trial AUC matches the scalar AUC helper
+        logits = m.forward_trials(
+            best_p, cfg, jnp.asarray(d.node_deg), val,
+            jnp.ones((d.val.num_msg,), bool),
+            d.val.num_msg + jnp.arange(len(d.val.pred), dtype=jnp.int32),
+            None, None)
+        auc_t = np.asarray(roc_auc_trials(jnp.asarray(d.val.y), logits))
+        from linkpred_tpu.utils.metrics import roc_auc_score
+        for i in range(T):
+            assert abs(auc_t[i] - roc_auc_score(d.val.y, np.asarray(logits[:, i]))) < 1e-5
