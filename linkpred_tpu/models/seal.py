@@ -131,12 +131,20 @@ def graph_conv_layers(params: DGCNNParams, d_inv, a_tilde, x):
 
 
 def sort_pool(cat, z4, node_mask, threshold_k: int):
-    """SortPooling: order nodes by Z4 score, keep/pad to threshold_k rows."""
+    """SortPooling: order nodes by Z4 score, keep/pad to threshold_k rows.
+
+    The pooled gather runs in flat 2-D form (rows = B*K) — a batched
+    `take_along_axis` is a 3-D gather, which XLA-on-TPU serializes ~30x
+    (docs/KERNELS.md gather rules).
+    """
+    from linkpred_tpu.ops.segment import take_rows
+
+    B, K = node_mask.shape
     scores = jnp.where(node_mask, z4[:, :, 0], -jnp.inf)
     _, idx = jax.lax.top_k(scores, threshold_k)  # [B, k]
-    pooled = jnp.take_along_axis(cat, idx[:, :, None], axis=1)  # [B, k, 96]
-    # rows beyond the real node count are zero (reference pads with zeros)
-    valid = jnp.take_along_axis(node_mask, idx, axis=1)
+    flat_idx = jnp.arange(B, dtype=idx.dtype)[:, None] * K + idx  # [B, k]
+    pooled = take_rows(cat.reshape(B * K, -1), flat_idx)  # [B, k, 96]
+    valid = take_rows(node_mask.reshape(B * K), flat_idx)
     return pooled * valid[:, :, None]
 
 
@@ -268,16 +276,24 @@ def train_scan_compact(
     """`train_scan` over compact inputs: each step gathers its minibatch
     from the uint8/int stacks and assembles dense f32 inputs on device."""
 
+    from linkpred_tpu.ops.segment import take_rows
+
     def step(carry, inp):
         params, opt_state, key = carry
         idx = inp
         key, k_drop = jax.random.split(key)
+        # adj_u8 is [P, K, K]: gather in flat 2-D form (3-D-operand
+        # gathers serialize on TPU — docs/KERNELS.md)
+        mask_b = take_rows(node_mask, idx)
         d_inv, a_tilde, x = assemble_inputs(
-            adj_u8[idx], tags[idx], nodes[idx], node_mask[idx],
+            take_rows(adj_u8.reshape(adj_u8.shape[0], -1), idx).reshape(
+                (idx.shape[0],) + adj_u8.shape[1:]
+            ),
+            take_rows(tags, idx), take_rows(nodes, idx), mask_b,
             emb_table, tags_size,
         )
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, d_inv, a_tilde, x, node_mask[idx], y[idx],
+            params, d_inv, a_tilde, x, mask_b, y[idx],
             threshold_k, k_drop, dropout_rate,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
