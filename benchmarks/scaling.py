@@ -6,9 +6,10 @@ zero-egress image). Measures:
 
 - ELL and degree-bucketed SpMM aggregation throughput (edges/sec)
   single-device,
-- edge-partitioned COO SpMM over the mesh (legacy scatter+psum path),
 - node-partitioned bucketed SpMM over an all-devices mesh and its
   scaling efficiency vs the single-device bucketed rate,
+- model-level throughput for all three families (SGNS tokens/s, SEAL
+  subgraphs/s, trial-major TwoWL trial-epochs/s),
 - sharded random-walk step throughput (node-hops/sec).
 
 Run on the virtual CPU mesh (JAX_PLATFORMS=cpu,
@@ -132,11 +133,6 @@ def main():
     from linkpred_tpu.ops import spmm
     from linkpred_tpu.ops.walk import WalkEngine, simulate_walks
     from linkpred_tpu.parallel import make_mesh
-    from linkpred_tpu.parallel.spmm_shard import (
-        pad_edges_for_mesh,
-        spmm_edge_partitioned,
-    )
-
     print(json.dumps({"devices": len(jax.devices()),
                       "platform": jax.devices()[0].platform}))
 
@@ -182,21 +178,14 @@ def main():
                       "edges_per_s": round(e_directed / dt),
                       "seconds": round(dt, 4)}))
 
-    # --- edge-partitioned SpMM over the mesh ----------------------------
+    # (The legacy edge-partitioned scatter+psum path is NOT benchmarked:
+    # measured 16.9 s/call on-chip at this scale vs 0.024 s for the
+    # node-partitioned bucketed path below — the per-shard scatter
+    # dominates regardless of sorting. It remains in
+    # parallel/spmm_shard.py for dynamic edge sets and is covered by
+    # tests/test_parallel.py.)
+
     mesh = make_mesh()
-    esz = mesh.shape["edge"] * mesh.shape["data"]
-    src_j, dst_j = jnp.asarray(g.src), jnp.asarray(g.dst)
-    (src_p, dst_p), vmask = pad_edges_for_mesh([src_j, dst_j], mesh.shape["edge"])
-    dt = bench(lambda: spmm_edge_partitioned(
-        mesh, src_p, dst_p, x, args.nodes, mask=vmask
-    ))
-    eps_n = e_directed / dt
-    print(json.dumps({
-        "metric": "spmm_edge_partitioned", "devices": esz,
-        "edge_axis": mesh.shape["edge"], "edges_per_s": round(eps_n),
-        "seconds": round(dt, 4),
-        "efficiency_vs_single": round(eps_n / eps_1, 3),
-    }))
 
     # --- node-partitioned bucketed SpMM over the mesh --------------------
     # scaling efficiency = rate over an all-devices ``edge`` mesh vs the
@@ -226,6 +215,116 @@ def main():
         "metric": "spmm_node_sharded_bucketed", "shards": n_shards,
         "edges_per_s": round(eps), "seconds": round(dt, 4),
         "scaling_efficiency": round(eps / (eps_b1 * n_shards), 3),
+    }))
+
+    # --- model-level throughput at scale: all three families -------------
+    # (BASELINE.json config 5: the three model families exercised at
+    # ogbl-collab scale; graph-level structures that are infeasible at
+    # this size in ANY framework — TwoWL's full ei2 cartesian product —
+    # run on a proportional subsample, like the reference would have to.)
+
+    # family A core: SGNS embedding training step (node2vec's Word2Vec)
+    from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
+
+    walks_small = np.random.default_rng(5).integers(
+        0, args.nodes, (4096, args.walk_length), dtype=np.int32
+    )
+    scfg = SGNSConfig(dim=128, epochs=1, batch_size=65536)
+    train_sgns(jax.random.PRNGKey(7), walks_small, args.nodes, scfg)  # compile
+    t0 = time.time()
+    train_sgns(jax.random.PRNGKey(17), walks_small, args.nodes, scfg)
+    dt = time.time() - t0
+    tokens = walks_small.size
+    print(json.dumps({"metric": "sgns_tokens_per_s", "value": round(tokens / dt),
+                      "seconds_warm": round(dt, 3)}))
+
+    # family B core: SEAL DGCNN batched train step on padded subgraphs
+    import optax
+
+    from linkpred_tpu.models import seal
+
+    P, K = 2048, 50
+    rs = np.random.default_rng(6)
+    adj = (rs.random((P, K, K)) < 0.08).astype(np.uint8)
+    adj = np.maximum(adj, adj.transpose(0, 2, 1))
+    sg_tags = rs.integers(0, 20, (P, K)).astype(np.int32)
+    sg_nodes = rs.integers(0, args.nodes, (P, K)).astype(np.int32)
+    sg_mask = np.ones((P, K), bool)
+    ys = rs.integers(0, 2, P).astype(np.int32)
+    emb = jnp.asarray(rs.standard_normal((args.nodes, 32)).astype(np.float32))
+    sp = seal.init_params(jax.random.PRNGKey(8), 20 + 32, 30)
+    sopt = optax.adam(1e-4)
+    sstate = sopt.init(sp)
+    steps, bsz = 8, 256
+    bidx = jnp.asarray(
+        rs.integers(0, P, (steps, bsz)).astype(np.int32))
+    t0 = time.time()
+    seal.train_scan_compact(
+        sp, sstate, jax.random.PRNGKey(9), bidx, jnp.asarray(adj),
+        jnp.asarray(sg_tags), jnp.asarray(sg_nodes), jnp.asarray(sg_mask),
+        emb, jnp.asarray(ys), 20, 30, 0.5, sopt, steps,
+    )[2].block_until_ready()
+    compile_plus = time.time() - t0
+    t0 = time.time()
+    losses = seal.train_scan_compact(
+        sp, sstate, jax.random.PRNGKey(10), bidx, jnp.asarray(adj),
+        jnp.asarray(sg_tags), jnp.asarray(sg_nodes), jnp.asarray(sg_mask),
+        emb, jnp.asarray(ys), 20, 30, 0.5, sopt, steps,
+    )[2]
+    float(jnp.sum(losses))
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "seal_subgraphs_per_s", "value": round(steps * bsz / dt),
+        "seconds_warm": round(dt, 3), "seconds_cold": round(compile_plus, 1),
+        "batch": bsz, "subgraph_nodes": K,
+    }))
+
+    # family C core: trial-major TwoWL epoch on a proportional subgraph
+    from linkpred_tpu.data.twowl import build_twowl_data
+    from linkpred_tpu.models import twowl as tw
+
+    sub_n = min(args.nodes, 800)
+    sub_edges = np.stack([g.src, g.dst], axis=1)
+    sub_edges = sub_edges[(sub_edges[:, 0] < sub_n) & (sub_edges[:, 1] < sub_n)]
+    twd = build_twowl_data(sub_edges, sub_n, rng=np.random.default_rng(11))
+    tcfg = tw.TwoWLConfig(max_degree=twd.max_degree, channels_1wl=24,
+                          channels_2wl=16, depth1=2, depth2=2,
+                          act0=True, act1=False)
+    T, Et = 8, 30
+    tparams = tw.init_params_trials(jax.random.PRNGKey(12), tcfg, T)
+    topt = optax.adam(1.0)
+    tstate = topt.init(tparams)
+    trn_a = tw.SplitArrays.from_split(twd.train)
+    val_a = tw.SplitArrays.from_split(twd.val)
+    npp = twd.train.num_msg // 2
+    nnp = len(twd.train.pred) // 2
+    Pt = min(len(twd.val.y), npp, nnp)
+    rt = np.random.default_rng(13)
+    tpos = jnp.asarray(np.stack(
+        [rt.permutation(npp)[:Pt] for _ in range(Et)]).astype(np.int32))
+    tneg = jnp.asarray(np.stack(
+        [rt.permutation(nnp)[:Pt] for _ in range(Et)]).astype(np.int32))
+    trates = tw.TrialRates(*[jnp.full((T,), r, jnp.float32)
+                             for r in (0.5, 0.2, 0.4, 0.1)])
+    tlrs = jnp.full((T,), 0.01, jnp.float32)
+
+    def run_tw():
+        out = tw.train_scan_trials(
+            tparams, tstate, jax.random.PRNGKey(14), tpos, tneg,
+            trn_a, val_a, jnp.asarray(twd.val.y), jnp.asarray(twd.node_deg),
+            tcfg, topt, tlrs, sub_n, Et, trates,
+        )
+        return float(jnp.sum(out[3][0]))
+
+    run_tw()  # compile
+    t0 = time.time()
+    run_tw()
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "twowl_trial_epochs_per_s",
+        "value": round(T * Et / dt), "seconds_warm": round(dt, 3),
+        "trials": T, "epochs": Et, "sub_nodes": sub_n,
+        "ei2_cols": int(trn_a.e1_src.shape[0]),
     }))
 
     # --- walk throughput -------------------------------------------------

@@ -33,14 +33,22 @@ def spmm_edge_partitioned(
     num_nodes: int,
     edge_weight: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
+    sorted_dst: bool = False,
 ) -> jnp.ndarray:
-    """out[i] = sum_{e: dst_e = i} w_e x[src_e], edges sharded over ``edge``."""
+    """out[i] = sum_{e: dst_e = i} w_e x[src_e], edges sharded over ``edge``.
+
+    Pass `sorted_dst=True` when each shard's dst ids are presorted (sort
+    the edge list by dst on the host BEFORE padding/partitioning —
+    contiguous shards of a sorted list stay sorted). Without it XLA sorts
+    the full [E_shard, F] message payload on every call, which dominates
+    everything at scale."""
 
     def local(src_l, dst_l, x_l, w_l, m_l):
         msgs = x_l[src_l]
         if w_l is not None:
             msgs = msgs * w_l[:, None]
-        part = segment_sum(msgs, dst_l, num_nodes, m_l)
+        part = segment_sum(msgs, dst_l, num_nodes, m_l,
+                           indices_are_sorted=sorted_dst)
         return jax.lax.psum(part, "edge")
 
     espec = P("edge")
