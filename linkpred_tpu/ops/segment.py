@@ -187,10 +187,14 @@ class SegmentPlan:
             if len(segs) == 0:
                 continue
             m = len(segs)
-            mat = np.full((m, wd), s, dtype=np.int32)  # sentinel pad
-            for r, seg in enumerate(segs):
-                c = counts[seg]
-                mat[r, :c] = slot_pos[starts[seg]:starts[seg] + c]
+            # vectorized ragged-to-padded fill (no per-segment Python loop)
+            pos = starts[segs][:, None] + np.arange(wd)[None, :]
+            ok = np.arange(wd)[None, :] < counts[segs][:, None]
+            mat = np.where(
+                ok,
+                slot_pos[np.minimum(pos, len(slot_pos) - 1)],
+                np.int32(s),
+            ).astype(np.int32)
             inv_perm[segs] = offset + np.arange(m)
             offset += m
             slot_buckets.append(mat)
