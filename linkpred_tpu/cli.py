@@ -71,6 +71,7 @@ def _cmd_twowl(args):
         n_trials=cfg.twowl_trials,
         data_dir=cfg.paths.data_dir,
         verbose=not args.quiet,
+        refine_trials=getattr(args, "refine", 0),
     )
     print(f"AUC:{res['test_auc']:.4f}   (best of {cfg.twowl_trials} trials)")
 
@@ -214,6 +215,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("twowl", help="TwoWL 2-WL GNN with hyperparameter sweep")
     pt.add_argument("--epochs", type=int, default=None)
     pt.add_argument("--trials", type=int, default=None)
+    pt.add_argument(
+        "--refine", type=int, default=0, metavar="N",
+        help="after the sweep, trial-major refine the winner's architecture "
+             "with N simultaneous (lr x dropout) trials in one program",
+    )
 
     pc = sub.add_parser("compare", help="compare best records per family")
     pc.add_argument("--dataset", default="fb-pages-food")

@@ -362,11 +362,19 @@ def run_twowl(
     log_file: str = "logs.json",
     fused: bool = True,
     state_file: str = "logs/twowl_sweep_state.jsonl",
+    refine_trials: int = 0,
 ) -> dict:
     """10-trial sweep with crash-resume: per-trial results append to
     `state_file`; on restart, completed trials replay from it (the RNG
     stream is re-drawn identically so pending trials are unaffected).
-    Delete the state file for a fresh sweep."""
+    Delete the state file for a fresh sweep.
+
+    `refine_trials > 0` adds a trial-major refinement round after the
+    search: the winner's ARCHITECTURE is fixed and `refine_trials`
+    (lr x dropout) configurations train simultaneously in one compiled
+    program (`refine_vmapped`); if the refined winner's val AUC improves,
+    its result replaces the sweep winner (record appended, logs.json
+    updated with the refined lr/dropouts)."""
     timer = StepTimer()
     rng = np.random.default_rng(run.seed)
     done = _load_sweep_state(state_file)
@@ -441,6 +449,29 @@ def run_twowl(
         if res["best_val"] > best["value"]:
             best = {"value": res["best_val"], "params": hp, "result": res,
                     "cfg": cfg, "trial": trial}
+
+    if refine_trials > 0:
+        with timer.span(f"refine x{refine_trials}"):
+            ref = refine_vmapped(
+                data, best["cfg"], run, n_trials=refine_trials,
+                key=jax.random.PRNGKey(run.seed + 10_000), verbose=verbose,
+            )
+        if ref["best_val"] > best["value"]:
+            hp = {**best["params"], "lr": ref["winner"]["lr"],
+                  **{k: v for k, v in ref["winner"].items() if k != "lr"}}
+            best = {
+                "value": ref["best_val"], "params": hp, "trial": -1,
+                "cfg": best["cfg"],
+                "result": {
+                    "best_val": ref["best_val"], "test_auc": ref["test_auc"],
+                    "test_eval_seconds": 0.0, "fpr": ref["fpr"],
+                    "tpr": ref["tpr"], "params": ref["params"],
+                },
+            }
+            records.write_record(
+                run.dataset, "twowl", ref["test_auc"], 0.0,
+                run.records_dir, append=True,
+            )
 
     if best["result"] is not None and best["result"]["params"] is None:
         # the winner was a resumed (replayed) trial — retrain it once to

@@ -86,3 +86,20 @@ class TestPipelines:
         )
         assert res["hop"] == 2
         assert res["auc"] > 0.75
+
+    def test_twowl_sweep_with_refine(self, tmp_path):
+        import numpy as np
+
+        from linkpred_tpu.pipelines.twowl_pipeline import (
+            TwoWLRunConfig,
+            run_twowl,
+        )
+
+        res = run_twowl(
+            TwoWLRunConfig(epochs=12, chunk_epochs=12),
+            n_trials=2, verbose=False, refine_trials=3,
+            state_file="",
+        )
+        assert 0.0 <= res["test_auc"] <= 1.0
+        assert res["best_params"] is not None
+        assert os.path.exists("logs.json")
