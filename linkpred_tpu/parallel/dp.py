@@ -63,3 +63,57 @@ def shard_twowl_split(mesh: Mesh, arrays):
             for k, v in arrays._asdict().items()
         }
     )
+
+
+def shard_twowl_trials(mesh: Mesh, params, opt_state, lrs, rates,
+                       axis: str = "data"):
+    """Sweep parallelism for the trial-major TwoWL engine: shard the TRIAL
+    axis over a mesh axis, so N devices train N x T trials in one program.
+
+    The trial axis sits at a different position per leaf (the degree
+    embedding keeps its index axis leading — `models.twowl._trial_axes`),
+    so each leaf gets its own PartitionSpec. Graph arrays stay replicated;
+    all trial-major compute is batched over trailing trial dims, which
+    GSPMD splits cleanly along the trial axis with zero collectives until
+    the (tiny) final AUC reduction.
+    """
+    from linkpred_tpu.models.twowl import _trial_axes
+
+    def put(tree):
+        axes = _trial_axes(tree)
+
+        def one(leaf, ax):
+            spec = [None] * leaf.ndim
+            spec[ax] = axis
+            return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+        return jax.tree_util.tree_map(one, tree, axes)
+
+    params = put(params)
+    opt_state = _put_opt_like_params(mesh, opt_state, params, axis)
+    vec = NamedSharding(mesh, P(axis))
+    lrs = jax.device_put(lrs, vec)
+    rates = jax.tree_util.tree_map(lambda r: jax.device_put(r, vec), rates)
+    return params, opt_state, lrs, rates
+
+
+def _put_opt_like_params(mesh: Mesh, opt_state, params, axis: str):
+    """Place optimizer-state leaves with the param leaf's trial sharding
+    when shapes match (adam mu/nu mirror params); scalars replicate."""
+    from linkpred_tpu.models.twowl import _trial_axes
+
+    axes = _trial_axes(params)
+    by_shape = {}
+    jax.tree_util.tree_map(
+        lambda leaf, ax: by_shape.setdefault(leaf.shape, ax), params, axes
+    )
+
+    def one(leaf):
+        ax = by_shape.get(getattr(leaf, "shape", None))
+        if ax is None:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        spec = [None] * leaf.ndim
+        spec[ax] = axis
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(one, opt_state)
