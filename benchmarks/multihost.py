@@ -1,0 +1,196 @@
+"""Multi-process distributed proof — orchestrator.
+
+Launches REAL multiple processes (the reference's driver/executor boundary,
+`node2vec_spark/.../Node2vec.scala:24-61`, re-expressed as JAX
+multi-controller over a CPU Gloo backend) and proves three things with
+numerics, writing `MULTIHOST.json` at the repo root:
+
+1. **Sharded-equals-reference**: an N-process run of the edge-sharded TwoWL
+   training step and the data-parallel SEAL step produces the same final
+   parameters as a single-device single-process run (max |diff| recorded).
+2. **Checkpoint-restart**: the whole job is crashed (`os._exit`) right
+   after a mid-training checkpoint, relaunched with `--resume`, and its
+   final parameters must equal the uninterrupted run's.
+3. **Barrier/init**: `jax.distributed.initialize` + `hybrid`-style
+   ("host", "data", "edge") global mesh actually span the processes
+   (process_count recorded from inside the job).
+
+Usage: `python benchmarks/multihost.py [--nproc 2] [--ldev 4] [--steps 6]`.
+Exit code 0 iff every check passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "benchmarks", "multihost_worker.py")
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def worker_env(ldev: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ldev}"
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def launch_job(nproc, ldev, steps, outdir, tag, interrupt_at=0,
+               resume=False, timeout=900, expect_rc=0, opt="adam"):
+    """Run one multi-process job (or single-process when nproc<2); returns
+    the per-process return codes."""
+    port = free_port()
+    procs = []
+    n = max(nproc, 1)
+    for pid in range(n):
+        cmd = [sys.executable, WORKER, "--nproc", str(nproc),
+               "--pid", str(pid), "--port", str(port), "--ldev", str(ldev),
+               "--steps", str(steps), "--outdir", outdir, "--tag", tag,
+               "--opt", opt]
+        if interrupt_at:
+            cmd += ["--interrupt-at", str(interrupt_at)]
+        if resume:
+            cmd += ["--resume"]
+        procs.append(subprocess.Popen(
+            cmd, env=worker_env(ldev),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    rcs, logs = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        rcs.append(p.returncode)
+        logs.append(out)
+    for pid, (rc, log) in enumerate(zip(rcs, logs)):
+        if rc != expect_rc:
+            sys.stderr.write(
+                f"--- worker {tag}/{pid} rc={rc} (expected {expect_rc}) ---\n"
+                f"{log[-4000:]}\n")
+    return rcs, logs
+
+
+def load_params(outdir, name):
+    data = np.load(os.path.join(outdir, name + ".npz"))
+    return [data[k] for k in sorted(data.files,
+                                    key=lambda s: int(s.split("_")[1]))]
+
+
+def max_diff(a_leaves, b_leaves) -> float:
+    return max(
+        float(np.max(np.abs(a - b))) for a, b in zip(a_leaves, b_leaves)
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--ldev", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--artifact", default=os.path.join(ROOT,
+                                                       "MULTIHOST.json"))
+    ap.add_argument("--tol", type=float, default=2e-4)
+    args = ap.parse_args(argv)
+
+    import tempfile
+
+    outdir = args.outdir or tempfile.mkdtemp(prefix="multihost_")
+    interrupt = max(args.steps // 2, 1)
+    report = {"nproc": args.nproc, "ldev": args.ldev, "steps": args.steps,
+              "checks": {}}
+    ok = True
+
+    # 1) sharded-equals-reference numerics, SGD (adam turns psum
+    #    reduction-order noise into O(lr)-sized steps wherever the gradient
+    #    signal is noise-dominated, so it cannot witness equality; the loss
+    #    trajectory check below covers the adam run instead)
+    rcs, _ = launch_job(0, 1, args.steps, outdir, "ref", opt="sgd")
+    ok &= all(r == 0 for r in rcs)
+    report["checks"]["reference_rc"] = rcs
+    rcs, _ = launch_job(args.nproc, args.ldev, args.steps, outdir,
+                        "dist_sgd", opt="sgd")
+    ok &= all(r == 0 for r in rcs)
+    report["checks"]["distributed_sgd_rc"] = rcs
+    if ok:
+        tw = max_diff(load_params(outdir, "twowl_params_ref"),
+                      load_params(outdir, "twowl_params_dist_sgd"))
+        se = max_diff(load_params(outdir, "seal_params_ref"),
+                      load_params(outdir, "seal_params_dist_sgd"))
+        report["checks"]["twowl_param_max_abs_diff_vs_reference"] = tw
+        report["checks"]["seal_param_max_abs_diff_vs_reference"] = se
+        ok &= tw < args.tol and se < args.tol
+
+    # 2) N-process adam run: loss trajectory must track a single-device
+    #    adam reference step-by-step
+    rcs, _ = launch_job(0, 1, args.steps, outdir, "ref_adam")
+    ok &= all(r == 0 for r in rcs)
+    rcs, logs = launch_job(args.nproc, args.ldev, args.steps, outdir, "dist")
+    ok &= all(r == 0 for r in rcs)
+    report["checks"]["distributed_rc"] = rcs
+    try:
+        with open(os.path.join(outdir, "result_dist.json")) as f:
+            dist = json.load(f)
+        with open(os.path.join(outdir, "result_ref_adam.json")) as f:
+            ref = json.load(f)
+        report["process_count_inside_job"] = dist["processes"]
+        report["global_devices_inside_job"] = dist["devices"]
+        ok &= dist["processes"] == args.nproc
+        dl = max(abs(a - b) for a, b in
+                 zip(ref["twowl_losses"], dist["twowl_losses"]))
+        sl = max(abs(a - b) for a, b in
+                 zip(ref["seal_losses"], dist["seal_losses"]))
+        report["checks"]["twowl_adam_loss_max_abs_diff_vs_reference"] = dl
+        report["checks"]["seal_adam_loss_max_abs_diff_vs_reference"] = sl
+        report["twowl_losses_distributed"] = dist["twowl_losses"]
+        report["seal_losses_distributed"] = dist["seal_losses"]
+        ok &= dl < 50 * args.tol and sl < 50 * args.tol
+    except FileNotFoundError:
+        ok = False
+        report["checks"]["distributed_result"] = "missing"
+
+    # 3) crash at the checkpoint barrier, then resume (adam; resumed run
+    #    repeats the exact key/batch/reduction schedule, so the final
+    #    parameters must match the uninterrupted distributed run tightly)
+    rcs, _ = launch_job(args.nproc, args.ldev, args.steps, outdir, "crash",
+                        interrupt_at=interrupt, expect_rc=17)
+    report["checks"]["crash_rc"] = rcs  # 17 = deliberate whole-job crash
+    ok &= all(r == 17 for r in rcs)
+    rcs, _ = launch_job(args.nproc, args.ldev, args.steps, outdir,
+                        "resumed", interrupt_at=interrupt, resume=True)
+    report["checks"]["resume_rc"] = rcs
+    ok &= all(r == 0 for r in rcs)
+    try:
+        rd = max_diff(load_params(outdir, "twowl_params_dist"),
+                      load_params(outdir, "twowl_params_resumed"))
+        report["checks"]["twowl_param_max_abs_diff_resume_vs_uninterrupted"] = rd
+        ok &= rd < args.tol
+    except FileNotFoundError:
+        ok = False
+
+    report["ok"] = bool(ok)
+    with open(args.artifact, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,6 +72,16 @@ def hybrid_mesh(
             dcn_mesh_shape=tuple(dcn_shape) + (1,) * (len(ici_shape) - 1),
         )
         devices = devices.reshape(shape)
-    except Exception:
+    except (ValueError, AssertionError, AttributeError) as e:
+        # CPU/virtual devices carry no slice topology — the hybrid helper
+        # rejects them. Fall back to a process-major reshape (jax orders
+        # the global device list by process, so the DCN axis still lands
+        # on the process boundary). On real multi-slice TPU jobs any other
+        # failure here must surface, not silently degrade the layout.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "hybrid mesh unavailable (%s); using process-major reshape", e
+        )
         devices = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
     return Mesh(devices, tuple(axis_names[: len(shape)]))

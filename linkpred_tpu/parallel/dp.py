@@ -30,9 +30,14 @@ def _put(tree: Any, sharding: NamedSharding):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def seal_batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding the subgraph-batch axis over every mesh axis."""
+    return P(tuple(mesh.axis_names))
+
+
 def shard_seal_batch(mesh: Mesh, d_inv, a_tilde, x, node_mask, y):
     """Shard the subgraph-batch axis over every mesh axis (full DP)."""
-    batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    batch_sharding = NamedSharding(mesh, seal_batch_spec(mesh))
     return tuple(
         jax.device_put(a, batch_sharding) for a in (d_inv, a_tilde, x, node_mask, y)
     )
@@ -42,24 +47,29 @@ def replicate(mesh: Mesh, tree: Any):
     return _put(tree, NamedSharding(mesh, P()))
 
 
+def twowl_split_specs(arrays) -> dict:
+    """Placement contract for a TwoWL `SplitArrays` on a mesh with an
+    ``edge`` axis: the ei2 direction columns (`e1_*`/`e2_*`) shard over
+    ``edge``, everything else replicates (node count and edge-row count are
+    small relative to the ei2 cartesian products). The SegmentPlan operand
+    tuples (`*_plan`) are index plans with bucket-shaped arrays — they
+    replicate (GSPMD handles the gathers). Returns {field: PartitionSpec}."""
+    return {
+        k: (P("edge")
+            if k.startswith(("e1_", "e2_")) and not k.endswith("_plan")
+            else P())
+        for k in arrays._asdict()
+    }
+
+
 def shard_twowl_split(mesh: Mesh, arrays):
-    """Place a TwoWL `SplitArrays` on the mesh: the ei2 direction columns
-    (`e1_*`/`e2_*`) shard over ``edge``, everything else replicates (node
-    count and edge-row count are small relative to the ei2 cartesian
-    products). Sharding a sorted axis keeps per-device shards sorted, so
-    the `indices_are_sorted` fast path survives partitioning."""
-    edge_sharding = NamedSharding(mesh, P("edge"))
-    repl = NamedSharding(mesh, P())
-    # the SegmentPlan operand tuples (`*_plan`) are index plans with
-    # bucket-shaped arrays — they replicate (GSPMD handles the gathers)
+    """Place a TwoWL `SplitArrays` on the mesh per `twowl_split_specs`.
+    Sharding a sorted axis keeps per-device shards sorted, so the
+    `indices_are_sorted` fast path survives partitioning."""
+    specs = twowl_split_specs(arrays)
     return type(arrays)(
         **{
-            k: jax.device_put(
-                v,
-                edge_sharding
-                if k.startswith(("e1_", "e2_")) and not k.endswith("_plan")
-                else repl,
-            )
+            k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             for k, v in arrays._asdict().items()
         }
     )

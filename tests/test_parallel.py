@@ -99,6 +99,57 @@ class TestNodeShardedBucketed:
         np.testing.assert_allclose(out, dense, rtol=1e-4, atol=1e-4)
 
 
+class TestEdgeShardedTwoWLStep:
+    def test_sharded_equals_replicated(self, mesh, rng):
+        """The edge-sharded `shard_twowl_split` placement must not change
+        train_step numerics: params after one step match an unsharded run
+        (GSPMD may only alter reduction order, not semantics)."""
+        import optax
+
+        from linkpred_tpu.data.twowl import build_twowl_data
+        from linkpred_tpu.models import twowl as m
+        from linkpred_tpu.parallel import dp
+
+        n = 32
+        pairs = np.stack(
+            [rng.integers(0, n, 140), rng.integers(0, n, 140)], axis=1
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        d = build_twowl_data(pairs, n, rng=rng, ei2_bucket=16 * 8)
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=16,
+                            channels_2wl=8, depth1=2, depth2=2,
+                            learning_rate=0.01)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        # sgd, not adam: adam rescales noise-dominated gradient components
+        # to full O(lr) steps, so psum reduction-order noise would flip
+        # update signs and mask genuine (in)equality
+        opt = optax.sgd(cfg.learning_rate)
+        ostate = opt.init(params)
+        raw = m.SplitArrays.from_split(d.train)
+        P_ = min(6, d.train.num_msg // 2, len(d.train.pred) // 2)
+        pos = jnp.arange(P_, dtype=jnp.int32)
+        neg = jnp.arange(P_, dtype=jnp.int32)
+        key = jax.random.PRNGKey(3)
+
+        ref_p, _, ref_loss, _, _ = m.train_step(
+            params, ostate, key, pos, neg, raw, cfg, opt, d.num_nodes
+        )
+        placed = dp.shard_twowl_split(mesh, raw)
+        got_p, _, got_loss, _, _ = m.train_step(
+            dp.replicate(mesh, params), dp.replicate(mesh, ostate),
+            key, pos, neg, placed, cfg, opt, d.num_nodes,
+        )
+        np.testing.assert_allclose(
+            float(got_loss), float(ref_loss), rtol=1e-5, atol=1e-6
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            ),
+            got_p, ref_p,
+        )
+
+
 class TestTrialSharding:
     def test_sweep_parallel_matches_replicated(self, mesh, rng):
         """Trial-axis sharding over the mesh must not change the math:
