@@ -42,6 +42,7 @@ from linkpred_tpu.ops.segment import (
     SegmentPlan,
     gcn_norm_coefficients,
     segment_sum,
+    segment_sum_onehot,
     segment_sum_planned,
     take_rows,
 )
@@ -66,6 +67,14 @@ class TwoWLConfig:
     act1: bool = True
     learning_rate: float = 0.01
     eps: float = 1e-5
+    # 1-WL aggregation backend: 'plan' (scatter-free bucketed gathers) or
+    # 'pallas' (one-hot MXU, `ops.segment.segment_sum_onehot`) — pick with
+    # `ops.spmm.choose_backend_1wl(N, num_msg)`; 'pallas' additionally
+    # needs `interpret=True` off-TPU, so it is 'plan' in CPU tests unless
+    # forced. The 2-WL ei2 structures always use 'plan' (slot counts far
+    # exceed the one-hot VMEM tile bound).
+    agg_1wl: str = "plan"
+    pallas_interpret: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +146,8 @@ def graph_norm(p, x, eps: float = 1e-5):
 
 def gcn_conv(
     p, x, src, dst, num_rows: int, mask=None, sorted_dst: bool = False,
-    norm=None, plan=None,
+    norm=None, plan=None, ell=None, backend: str = "plan",
+    interpret: bool = False,
 ):
     """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop).
 
@@ -149,13 +159,23 @@ def gcn_conv(
     PyG GCNConv). `plan` is an optional `SegmentPlan.operands()` tuple for
     `dst` — the aggregation then runs scatter-free (and vmaps without the
     serialized-batched-scatter penalty; see ops.segment.SegmentPlan).
+    `backend='pallas'` with `ell=(slots, valid)` (`SegmentPlan.
+    ell_operands`) instead aggregates on the MXU via the one-hot kernel
+    (`ops.segment.segment_sum_onehot`) — the regime `ops.spmm.
+    choose_backend_1wl` selects for small slot counts on real TPUs.
+    Dynamic edge masking composes into every backend through `coeff`
+    (masked edges carry weight 0, so their message rows are zero).
     """
     h = x @ p["w"]
     coeff, self_coeff = norm if norm is not None else gcn_norm_coefficients(
         src, dst, num_rows, mask, indices_are_sorted=sorted_dst
     )
     msgs = h[src] * coeff[:, None]
-    if plan is not None:
+    if backend == "pallas" and ell is not None:
+        agg = segment_sum_onehot(
+            num_rows, msgs, plan[0], ell[0], ell[1], interpret
+        )
+    elif plan is not None:
         agg = segment_sum_planned(num_rows, msgs, *plan)
     else:
         agg = segment_sum(msgs, dst, num_rows, indices_are_sorted=sorted_dst)
@@ -182,13 +202,24 @@ class SplitArrays(NamedTuple):
     msg_plan: tuple
     e1_plan: tuple
     e2_plan: tuple
+    # one-hot-MXU regime operands for the 1-WL aggregation
+    # (`SegmentPlan.ell_operands`); empty placeholders when the slot count
+    # exceeds the VMEM one-hot tile bound (`ops.spmm.ONEHOT_MAX_SLOTS`)
+    msg_slots: jnp.ndarray = jnp.zeros((0, 0), jnp.int32)
+    msg_svalid: jnp.ndarray = jnp.zeros((0, 0), bool)
 
     @staticmethod
     def from_split(s) -> "SplitArrays":
+        from linkpred_tpu.ops.spmm import ONEHOT_MAX_SLOTS
+
         R = len(s.pos1)
-        msg_plan = SegmentPlan.build(
-            s.msg[s.msg_perm][:, 1], s.num_nodes
-        ).operands()
+        msg_plan_obj = SegmentPlan.build(s.msg[s.msg_perm][:, 1], s.num_nodes)
+        msg_plan = msg_plan_obj.operands()
+        if msg_plan_obj.num_slots <= ONEHOT_MAX_SLOTS:
+            msg_slots, msg_svalid = msg_plan_obj.ell_operands()
+        else:
+            msg_slots = jnp.zeros((0, 0), jnp.int32)
+            msg_svalid = jnp.zeros((0, 0), bool)
         e1_plan = SegmentPlan.build(s.e1_dst, R).operands()
         e2_plan = SegmentPlan.build(s.e2_dst, R).operands()
         return SplitArrays(
@@ -206,6 +237,8 @@ class SplitArrays(NamedTuple):
             msg_plan=msg_plan,
             e1_plan=e1_plan,
             e2_plan=e2_plan,
+            msg_slots=msg_slots,
+            msg_svalid=msg_svalid,
         )
 
 
@@ -271,9 +304,12 @@ def forward(
         src_s, dst_s, N, mask_s, indices_are_sorted=True,
         plan=arrays.msg_plan,
     )
+    ell = ((arrays.msg_slots, arrays.msg_svalid)
+           if cfg.agg_1wl == "pallas" else None)
     for i, layer in enumerate(params["conv1"]):
         x = gcn_conv(layer, x, src_s, dst_s, N, mask_s, sorted_dst=True,
-                     norm=norm1, plan=arrays.msg_plan)
+                     norm=norm1, plan=arrays.msg_plan, ell=ell,
+                     backend=cfg.agg_1wl, interpret=cfg.pallas_interpret)
         x = graph_norm(layer["gn"], x, cfg.eps)
         last = i == cfg.depth1 - 1
         x = drop(x, r.dp_1wl1 if last else r.dp_1wl0)

@@ -73,9 +73,15 @@ def spmm_ell_pallas(
     block_feats: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[i] = sum_d w[i, d] * x[nbr[i, d]] as a Pallas one-hot-MXU kernel."""
+    """out[i] = sum_d w[i, d] * x[nbr[i, d]] as a Pallas one-hot-MXU kernel.
+
+    `x` may have any row count (`nbr` values index x rows) — whole-graph
+    SpMM passes node features (rows = N), the segment-sum regime
+    (`ops.segment.segment_sum_onehot`) passes per-slot messages
+    (rows = num_slots + 1 zero row).
+    """
     n, d = nbr.shape
-    f = x.shape[1]
+    nx, f = x.shape
     n_pad = _round_up(n, block_rows)
     f_pad = _round_up(f, block_feats)
     # transpose the neighbor operands to [D, N] so the kernel's degree loop
@@ -89,7 +95,7 @@ def spmm_ell_pallas(
     grid = (n_pad // block_rows, f_pad // block_feats)
     out = pl.pallas_call(
         functools.partial(
-            _spmm_kernel, block_rows=block_rows, num_nodes=n
+            _spmm_kernel, block_rows=block_rows, num_nodes=nx
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32),
         grid=grid,
@@ -98,7 +104,7 @@ def spmm_ell_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, block_rows), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, block_feats), lambda i, j: (0, j),
+            pl.BlockSpec((nx, block_feats), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -216,6 +216,24 @@ class SegmentPlan:
             tuple(jnp.asarray(b) for b in self.slot_buckets),
         )
 
+    def ell_operands(self):
+        """Single padded `[num_segments, W]` slot matrix + validity mask
+        for the one-hot-MXU regime (`segment_sum_onehot`): row r lists the
+        slot positions of segment r, sentinel `num_slots` pads. W is the
+        max segment count. Only viable when `num_slots` is small enough
+        for a `[block_rows, num_slots]` one-hot tile to fit VMEM (the
+        `choose_backend_1wl` dispatch rule in ops.spmm)."""
+        W = max((b.shape[1] for b in self.slot_buckets), default=1)
+        rows = [
+            np.pad(b, ((0, 0), (0, W - b.shape[1])),
+                   constant_values=self.num_slots)
+            for b in self.slot_buckets
+        ]
+        # count-0 segments' inv_perm points one past the last bucket row
+        rows.append(np.full((1, W), self.num_slots, dtype=np.int32))
+        mat = np.concatenate(rows, axis=0)[self.inv_perm]
+        return jnp.asarray(mat), jnp.asarray(mat < self.num_slots)
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def segment_sum_planned(num_segments: int, msgs, dst, inv_perm, slot_buckets):
@@ -260,3 +278,54 @@ def _planned_bwd(num_segments, res, g):
 
 
 segment_sum_planned.defvjp(_planned_fwd, _planned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# one-hot-MXU (Pallas) segment sum — the small-slot-count regime
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 5))
+def segment_sum_onehot(num_segments: int, msgs, dst, slots, valid,
+                       interpret: bool = False):
+    """Segment sum on the MXU: out[r] = sum_w valid[r,w] * msgs[slots[r,w]].
+
+    `(slots, valid)` come from `SegmentPlan.ell_operands()`; `dst` is the
+    plan's `dst_clipped` (used only by the backward gather). The forward
+    runs the Pallas one-hot kernel (`ops.pallas_kernels.spmm_ell_pallas`):
+    the gather becomes a block-dense {0,1} adjacency built in VMEM and
+    multiplied on the systolic array — zero scatter, zero HBM gather
+    traffic beyond the int32 slot matrix. Viable when `num_slots` is small
+    enough for a [block_rows, num_slots] f32 tile in VMEM (~16k slots);
+    `ops.spmm.choose_backend_1wl` encodes the rule.
+
+    Equals `segment_sum_planned` for the same plan; the backward is the
+    identical slot-partition gather (`g[dst]`).
+    """
+    return _onehot_fwd_impl(msgs, slots, valid, interpret)
+
+
+def _onehot_fwd_impl(msgs, slots, valid, interpret):
+    from linkpred_tpu.ops.pallas_kernels import spmm_ell_pallas
+
+    ext = jnp.concatenate(
+        [msgs, jnp.zeros((1, msgs.shape[1]), msgs.dtype)], axis=0
+    )
+    return spmm_ell_pallas(
+        slots, valid.astype(jnp.float32), ext, interpret=interpret
+    ).astype(msgs.dtype)
+
+
+def _onehot_fwd(num_segments, msgs, dst, slots, valid, interpret):
+    return _onehot_fwd_impl(msgs, slots, valid, interpret), (dst,)
+
+
+def _onehot_bwd(num_segments, interpret, res, g):
+    (dst,) = res
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0
+    )
+    return (g_ext[dst], None, None, None)
+
+
+segment_sum_onehot.defvjp(_onehot_fwd, _onehot_bwd)

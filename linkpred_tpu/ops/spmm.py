@@ -203,6 +203,83 @@ def spmm_bucketed(x: jnp.ndarray, num_nodes: int, *operands) -> jnp.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# regime dispatch — which aggregation kernel for which graph shape
+# ---------------------------------------------------------------------------
+
+# one [block_rows=256, num_slots] f32 one-hot tile must fit VMEM alongside
+# the feature stripe: 256 x 16384 x 4B = 16 MiB, the practical ceiling
+ONEHOT_MAX_SLOTS = 16384
+# whole-graph one-hot: the [256, N] tile bound, same budget over node count
+ONEHOT_MAX_NODES = 16384
+
+
+def choose_backend_1wl(
+    num_rows: int, num_slots: int, platform: str | None = None
+) -> str:
+    """Regime rule for message-aggregation inside GCN layers (the TwoWL
+    1-WL stack): 'pallas' (one-hot MXU, `segment_sum_onehot`) when the
+    slot count fits a VMEM one-hot tile on a real TPU, else 'plan'
+    (scatter-free bucketed gathers, `segment_sum_planned`). The 2-WL ei2
+    structures (~80k slots at fb-pages-food scale) always dispatch to
+    'plan'. Measured A/B on the chip: bench.py `twowl_1wl_agg_*`."""
+    platform = platform or jax.devices()[0].platform
+    if platform == "tpu" and num_slots <= ONEHOT_MAX_SLOTS:
+        return "pallas"
+    return "plan"
+
+
+def spmm_auto(
+    nbr,
+    nbr_mask,
+    x: jnp.ndarray,
+    nbr_weight=None,
+    platform: str | None = None,
+    force: str | None = None,
+) -> jnp.ndarray:
+    """Whole-graph SpMM with host-side regime dispatch (the role
+    torch-scatter/torch-sparse play for the reference's PyG layers,
+    `TwoWL/model/model.py:36-41`):
+
+    - 'pallas'   — one-hot MXU kernel, TPU and N <= ONEHOT_MAX_NODES
+                   (small-graph regime: every reference workload),
+    - 'bucketed' — degree-bucketed ELL, large graphs (builds the layout on
+                   the host; amortize by building `BucketedEll` once and
+                   calling `spmm_bucketed` directly in loops),
+    - 'ell'      — flat gather+einsum fallback (CPU / tests).
+
+    `nbr`/`nbr_mask` must be host (numpy) arrays when the bucketed regime
+    can be chosen (layout build reads them); jit callers inside a fixed
+    regime should call the regime's kernel directly.
+    """
+    import numpy as np
+
+    platform = platform or jax.devices()[0].platform
+    n = nbr.shape[0]
+    regime = force
+    if regime is None:
+        if platform == "tpu" and n <= ONEHOT_MAX_NODES:
+            regime = "pallas"
+        elif n > ONEHOT_MAX_NODES:
+            regime = "bucketed"
+        else:
+            regime = "ell"
+    if regime == "pallas":
+        from linkpred_tpu.ops.pallas_kernels import spmm_ell_auto
+
+        return spmm_ell_auto(jnp.asarray(nbr), jnp.asarray(nbr_mask), x,
+                             None if nbr_weight is None
+                             else jnp.asarray(nbr_weight))
+    if regime == "bucketed":
+        lay = BucketedEll.build(
+            np.asarray(nbr), np.asarray(nbr_mask),
+            None if nbr_weight is None else np.asarray(nbr_weight),
+        )
+        return spmm_bucketed(x, lay.num_nodes, *lay.operands())
+    return spmm_ell(jnp.asarray(nbr), jnp.asarray(nbr_mask), x,
+                    None if nbr_weight is None else jnp.asarray(nbr_weight))
+
+
 def gcn_aggregate(
     src: jnp.ndarray,
     dst: jnp.ndarray,

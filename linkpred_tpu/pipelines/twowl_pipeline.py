@@ -36,6 +36,7 @@ import optax
 from linkpred_tpu.data import io
 from linkpred_tpu.data.twowl import TwoWLData, TwoWLSplit, build_twowl_data
 from linkpred_tpu.models import twowl as m
+from linkpred_tpu.ops import spmm
 from linkpred_tpu.utils import checkpoint, metrics, plots, records
 from linkpred_tpu.utils.timer import StepTimer
 
@@ -398,8 +399,13 @@ def run_twowl(
                     val_ratio=run.val_ratio, test_ratio=run.test_ratio,
                 )
         hp = sample_trial(rng)
+        # regime-dispatched 1-WL aggregation backend (ops.spmm): one-hot
+        # MXU on real TPUs at fb-pages-food scale, bucketed-gather plan
+        # otherwise / at large slot counts
+        agg_1wl = spmm.choose_backend_1wl(num_nodes, data.train.num_msg)
         cfg = m.TwoWLConfig(
             max_degree=data.max_degree,
+            agg_1wl=agg_1wl,
             channels_1wl=hp["channels_1wl"],
             channels_2wl=hp["channels_2wl"],
             depth1=hp["depth1"],

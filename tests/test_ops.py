@@ -165,3 +165,49 @@ def test_segment_plan_matches_segment_sum(rng):
         segment_sum_planned(R, m, dst, inv, buckets) ** 2)))(b)
     np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gr),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_onehot_matches_planned(rng):
+    """One-hot-MXU regime (interpret on CPU) == planned segment sum,
+    forward and VJP."""
+    S, R, F = 300, 45, 8
+    ids = rng.integers(0, R, S).astype(np.int32)
+    msgs = rng.standard_normal((S, F)).astype(np.float32)
+    plan = segment.SegmentPlan.build(ids, R)
+    ops_ = plan.operands()
+    slots, valid = plan.ell_operands()
+
+    ref = segment.segment_sum_planned(R, jnp.asarray(msgs), *ops_)
+    got = segment.segment_sum_onehot(
+        R, jnp.asarray(msgs), ops_[0], slots, valid, True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_planned(mm):
+        return (segment.segment_sum_planned(R, mm, *ops_) ** 2).sum()
+
+    def loss_onehot(mm):
+        return (segment.segment_sum_onehot(
+            R, mm, ops_[0], slots, valid, True) ** 2).sum()
+
+    g_ref = jax.grad(loss_planned)(jnp.asarray(msgs))
+    g_got = jax.grad(loss_onehot)(jnp.asarray(msgs))
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_auto_regimes_match_dense(small):
+    g, x = small
+    dense = dense_ref(g, x)
+    for force in ("pallas", "bucketed", "ell"):
+        out = spmm.spmm_auto(g.nbr, g.nbr_mask, jnp.asarray(x), force=force)
+        np.testing.assert_allclose(np.asarray(out), dense,
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"regime {force}")
+
+
+def test_choose_backend_1wl_rule():
+    assert spmm.choose_backend_1wl(620, 3556, platform="tpu") == "pallas"
+    assert spmm.choose_backend_1wl(7112, 81920, platform="tpu") == "plan"
+    assert spmm.choose_backend_1wl(620, 3556, platform="cpu") == "plan"

@@ -58,6 +58,73 @@ class TestShardedWalks:
                 assert a == b or has[a, b]
 
 
+class TestTableShardedWalks:
+    """The routed-frontier (all_to_all) walk engine with sharded tables —
+    the Spark per-step frontier join (`Node2vec.scala:103-124`). Must
+    produce valid biased walks, lose no walkers, and match the
+    replicated-table engine in distribution."""
+
+    def _graph(self, rng, n=30):
+        from linkpred_tpu.data.graph import Graph
+
+        pairs = np.stack(
+            [rng.integers(0, n, 120), rng.integers(0, n, 120)], axis=1
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        return Graph.from_undirected_edges(pairs[:, 0], pairs[:, 1],
+                                           num_nodes=n)
+
+    def _cond_freq(self, walks, n):
+        c = np.zeros((n, n))
+        for row in walks:
+            for a, b in zip(row[:-1], row[1:]):
+                if a != b:
+                    c[a, b] += 1
+        tot = c.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1
+        return c / tot
+
+    def test_matches_replicated_distribution(self, rng):
+        from linkpred_tpu.ops.walk import WalkEngine
+        from linkpred_tpu.parallel import make_mesh
+        from linkpred_tpu.parallel.walks import TableShardedWalker
+
+        g = self._graph(rng)
+        n = g.num_nodes
+        mesh = make_mesh(8, axis_names=("edge",), shape=(8,))
+        sharded = TableShardedWalker.build(g, 8, p=2.0, q=0.5)
+        walks, dropped = sharded.walks(mesh, jax.random.PRNGKey(0), 60, 10)
+        assert dropped == 0
+        assert walks.shape == (60 * n, 10)
+        # every walker id recovered exactly once -> row r*N+v starts at v
+        np.testing.assert_array_equal(
+            walks[:, 0], np.tile(np.arange(n), 60)
+        )
+        has = g.has_edge_matrix()
+        for row in walks:
+            for a, b in zip(row[:-1], row[1:]):
+                assert a == b or has[a, b]
+
+        repl = WalkEngine(g, p=2.0, q=0.5)
+        wr = np.asarray(repl.walks(jax.random.PRNGKey(1), 60, 10))
+        diff = np.abs(self._cond_freq(walks, n) - self._cond_freq(wr, n))
+        assert diff.max() < 0.12, diff.max()
+
+    def test_multi_axis_mesh(self, mesh, rng):
+        """Tables sharded over `edge` while `data` replicates — the layout
+        used when walks coexist with data-parallel training."""
+        from linkpred_tpu.parallel.walks import TableShardedWalker
+
+        g = self._graph(rng)
+        sharded = TableShardedWalker.build(g, mesh.shape["edge"])
+        walks, dropped = sharded.walks(mesh, jax.random.PRNGKey(0), 8, 6)
+        assert dropped == 0
+        has = g.has_edge_matrix()
+        for row in walks[:60]:
+            for a, b in zip(row[:-1], row[1:]):
+                assert a == b or has[a, b]
+
+
 class TestDryrun:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge

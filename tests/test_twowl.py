@@ -181,6 +181,55 @@ class TestEndToEnd:
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+class TestOnehotBackend:
+    def test_pallas_1wl_matches_plan(self, toy_data):
+        """The regime-dispatched one-hot-MXU 1-WL aggregation
+        (cfg.agg_1wl='pallas', interpret mode on CPU) must match the
+        segment-plan backend in forward scores AND through one train step
+        (gradients flow through the custom VJP)."""
+        d = toy_data
+        base = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                             channels_2wl=8, depth1=2, depth2=1,
+                             dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0,
+                             dp_2wl=0.0, learning_rate=0.02)
+        import dataclasses as dc
+
+        cfg_p = dc.replace(base, agg_1wl="pallas", pallas_interpret=True)
+        params = m.init_params(jax.random.PRNGKey(0), base)
+        arrays = m.SplitArrays.from_split(d.test)
+        assert arrays.msg_slots.size > 0  # dispatcher built ell operands
+        args = (params, jnp.asarray(d.node_deg), arrays)
+        ref = np.asarray(m.eval_scores(*args, cfg=base,
+                                       num_nodes=d.num_nodes))
+        got = np.asarray(m.eval_scores(*args, cfg=cfg_p,
+                                       num_nodes=d.num_nodes))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+        trn = m.SplitArrays.from_split(d.train)
+        optimizer = optax.sgd(0.02)
+        P = min(6, d.train.num_msg // 2, len(d.train.pred) // 2)
+        pos = jnp.arange(P, dtype=jnp.int32)
+        neg = jnp.arange(P, dtype=jnp.int32)
+        key = jax.random.PRNGKey(3)
+
+        def step(cfg):
+            p, _, loss, _, _ = m.train_step(
+                params, optimizer.init(params), key, pos, neg, trn,
+                cfg=cfg, optimizer=optimizer, num_nodes=d.num_nodes,
+            )
+            return p, float(loss)
+
+        p_ref, l_ref = step(base)
+        p_got, l_got = step(cfg_p)
+        np.testing.assert_allclose(l_got, l_ref, rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            p_got, p_ref,
+        )
+
+
 class TestFusedScan:
     def test_train_scan_tracks_best(self, toy_data):
         import optax
