@@ -115,19 +115,24 @@ def main(argv=None):
     outdir = args.outdir or tempfile.mkdtemp(prefix="multihost_")
     interrupt = max(args.steps // 2, 1)
     report = {"nproc": args.nproc, "ldev": args.ldev, "steps": args.steps,
-              "checks": {}}
+              "checks": {}, "failed": []}
     ok = True
+
+    def check(name: str, passed: bool) -> bool:
+        if not passed:
+            report["failed"].append(name)
+        return bool(passed)
 
     # 1) sharded-equals-reference numerics, SGD (adam turns psum
     #    reduction-order noise into O(lr)-sized steps wherever the gradient
     #    signal is noise-dominated, so it cannot witness equality; the loss
     #    trajectory check below covers the adam run instead)
     rcs, _ = launch_job(0, 1, args.steps, outdir, "ref", opt="sgd")
-    ok &= all(r == 0 for r in rcs)
+    ok &= check("reference_rc", all(r == 0 for r in rcs))
     report["checks"]["reference_rc"] = rcs
     rcs, _ = launch_job(args.nproc, args.ldev, args.steps, outdir,
                         "dist_sgd", opt="sgd")
-    ok &= all(r == 0 for r in rcs)
+    ok &= check("distributed_sgd_rc", all(r == 0 for r in rcs))
     report["checks"]["distributed_sgd_rc"] = rcs
     if ok:
         tw = max_diff(load_params(outdir, "twowl_params_ref"),
@@ -136,14 +141,14 @@ def main(argv=None):
                       load_params(outdir, "seal_params_dist_sgd"))
         report["checks"]["twowl_param_max_abs_diff_vs_reference"] = tw
         report["checks"]["seal_param_max_abs_diff_vs_reference"] = se
-        ok &= tw < args.tol and se < args.tol
+        ok &= check("sgd_param_diff", tw < args.tol and se < args.tol)
 
     # 2) N-process adam run: loss trajectory must track a single-device
     #    adam reference step-by-step
     rcs, _ = launch_job(0, 1, args.steps, outdir, "ref_adam")
-    ok &= all(r == 0 for r in rcs)
+    ok &= check("ref_adam_rc", all(r == 0 for r in rcs))
     rcs, logs = launch_job(args.nproc, args.ldev, args.steps, outdir, "dist")
-    ok &= all(r == 0 for r in rcs)
+    ok &= check("distributed_rc", all(r == 0 for r in rcs))
     report["checks"]["distributed_rc"] = rcs
     try:
         with open(os.path.join(outdir, "result_dist.json")) as f:
@@ -152,7 +157,7 @@ def main(argv=None):
             ref = json.load(f)
         report["process_count_inside_job"] = dist["processes"]
         report["global_devices_inside_job"] = dist["devices"]
-        ok &= dist["processes"] == args.nproc
+        ok &= check("process_count", dist["processes"] == args.nproc)
         dl = max(abs(a - b) for a, b in
                  zip(ref["twowl_losses"], dist["twowl_losses"]))
         sl = max(abs(a - b) for a, b in
@@ -161,9 +166,9 @@ def main(argv=None):
         report["checks"]["seal_adam_loss_max_abs_diff_vs_reference"] = sl
         report["twowl_losses_distributed"] = dist["twowl_losses"]
         report["seal_losses_distributed"] = dist["seal_losses"]
-        ok &= dl < 50 * args.tol and sl < 50 * args.tol
+        ok &= check("adam_loss_trajectory", dl < 50 * args.tol and sl < 50 * args.tol)
     except FileNotFoundError:
-        ok = False
+        ok = check("distributed_result_files", False)
         report["checks"]["distributed_result"] = "missing"
 
     # 3) crash at the checkpoint barrier, then resume (adam; resumed run
@@ -172,18 +177,18 @@ def main(argv=None):
     rcs, _ = launch_job(args.nproc, args.ldev, args.steps, outdir, "crash",
                         interrupt_at=interrupt, expect_rc=17)
     report["checks"]["crash_rc"] = rcs  # 17 = deliberate whole-job crash
-    ok &= all(r == 17 for r in rcs)
+    ok &= check("crash_rc", all(r == 17 for r in rcs))
     rcs, _ = launch_job(args.nproc, args.ldev, args.steps, outdir,
                         "resumed", interrupt_at=interrupt, resume=True)
     report["checks"]["resume_rc"] = rcs
-    ok &= all(r == 0 for r in rcs)
+    ok &= check("resume_rc", all(r == 0 for r in rcs))
     try:
         rd = max_diff(load_params(outdir, "twowl_params_dist"),
                       load_params(outdir, "twowl_params_resumed"))
         report["checks"]["twowl_param_max_abs_diff_resume_vs_uninterrupted"] = rd
-        ok &= rd < args.tol
+        ok &= check("resume_param_diff", rd < args.tol)
     except FileNotFoundError:
-        ok = False
+        ok = check("resume_param_files", False)
 
     report["ok"] = bool(ok)
     with open(args.artifact, "w") as f:

@@ -124,7 +124,28 @@ def main():
     ap.add_argument("--max-degree", type=int, default=64)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                     help="feature dtype for the SpMM measurements")
+    ap.add_argument("--train-e2e", action="store_true",
+                    help="ONLY run the end-to-end collab-scale GCN training "
+                         "(pipelines.gcn_scale) and print its JSON")
+    ap.add_argument("--steps", type=int, default=60)
     args = ap.parse_args()
+
+    if args.train_e2e:
+        import jax
+
+        from linkpred_tpu.pipelines.gcn_scale import (
+            ScaleGCNConfig,
+            train_collab,
+        )
+
+        out = train_collab(ScaleGCNConfig(
+            nodes=args.nodes, edges=args.edges, max_degree=args.max_degree,
+            steps=args.steps, dtype=args.dtype,
+        ), verbose=False)
+        out["metric"] = "collab_e2e_training"
+        out["platform"] = jax.devices()[0].platform
+        print(json.dumps(out))
+        return
 
     import jax
     import jax.numpy as jnp

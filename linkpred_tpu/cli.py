@@ -202,6 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
+        "--profile", nargs="?", const="logs/profile", default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace for the whole command "
+             "(XProf/TensorBoard readable; default dir logs/profile)",
+    )
+    p.add_argument(
         "--set", action="append", metavar="KEY=VALUE",
         help="dotted-path config override, e.g. --set twowl.epochs=500",
     )
@@ -246,6 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from linkpred_tpu.utils.device import honor_platform_env
+
+    honor_platform_env()
     args = build_parser().parse_args(argv)
     cmd = {
         "logistic": _cmd_logistic,
@@ -255,7 +264,14 @@ def main(argv=None):
         "stats": _cmd_stats,
         "node2vec": _cmd_node2vec,
     }[args.cmd]
-    cmd(args)
+    if args.profile:
+        from linkpred_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            cmd(args)
+        print(f"wrote device trace to {args.profile}")
+    else:
+        cmd(args)
 
 
 if __name__ == "__main__":

@@ -113,34 +113,43 @@ def negative_sampling(
     `negative_sampling` used at reference `TwoWL/operators/datasets.py:176`.
     """
     rng = rng or np.random.default_rng(0)
+    from linkpred_tpu import native
+
+    if native.load_library() is not None:
+        # C++ host data plane (native/graphlib.cpp sample_negatives):
+        # rejection sampling against the sorted exclude-key array; the seed
+        # is drawn from `rng` so a given Generator state stays deterministic
+        return native.sample_negatives(
+            exclude_pairs, num_nodes, num_samples,
+            seed=int(rng.integers(np.iinfo(np.int64).max)),
+        )
+
+    # vectorized numpy fallback (same rejection scheme, batched per round;
+    # insertion-order dedup keeps the accepted subset unbiased)
     ex = _dedup_upper(np.asarray(exclude_pairs, dtype=np.int64))
-    ex_key = set((ex[:, 0].astype(np.int64) * num_nodes + ex[:, 1]).tolist())
-    out = []
-    seen = set()
-    need = num_samples
+    ex_keys = np.unique(ex[:, 0].astype(np.int64) * num_nodes + ex[:, 1])
+    taken = np.empty(0, dtype=np.int64)  # accepted keys, insertion order
+    taken_sorted = np.empty(0, dtype=np.int64)
     for _ in range(max_rounds):
+        need = num_samples - len(taken)
         if need <= 0:
             break
         cand = rng.integers(0, num_nodes, size=(need * 2 + 16, 2))
-        lo = np.minimum(cand[:, 0], cand[:, 1])
-        hi = np.maximum(cand[:, 0], cand[:, 1])
-        ok = lo != hi
-        lo, hi = lo[ok], hi[ok]
-        keys = lo.astype(np.int64) * num_nodes + hi
-        for k, a, b in zip(keys.tolist(), lo.tolist(), hi.tolist()):
-            if k in ex_key or k in seen:
-                continue
-            seen.add(k)
-            out.append((a, b))
-            if len(out) >= num_samples:
-                break
-        need = num_samples - len(out)
-    if len(out) < num_samples:
+        lo = np.minimum(cand[:, 0], cand[:, 1]).astype(np.int64)
+        hi = np.maximum(cand[:, 0], cand[:, 1]).astype(np.int64)
+        keys = (lo * num_nodes + hi)[lo != hi]
+        # drop excluded + already-taken, then dedup preserving first hit
+        keys = keys[~np.isin(keys, ex_keys) & ~np.isin(keys, taken_sorted)]
+        _, first = np.unique(keys, return_index=True)
+        keys = keys[np.sort(first)][:need]
+        taken = np.concatenate([taken, keys])
+        taken_sorted = np.sort(taken)
+    if len(taken) < num_samples:
         raise ValueError(
             f"could not sample {num_samples} negatives from "
-            f"{num_nodes} nodes with {len(ex_key)} excluded pairs"
+            f"{num_nodes} nodes with {len(ex_keys)} excluded pairs"
         )
-    return np.asarray(out, dtype=np.int64)
+    return np.stack([taken // num_nodes, taken % num_nodes], axis=1)
 
 
 def shuffled_non_edges(

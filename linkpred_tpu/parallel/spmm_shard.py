@@ -163,6 +163,44 @@ def spmm_node_sharded(
     return out[:num_nodes] if pad_rows > num_nodes else out
 
 
+def spmm_node_sharded_sym(mesh, x, num_nodes, rows_per_shard, stacked,
+                          axis: str = "edge"):
+    """`spmm_node_sharded` with a custom VJP for SYMMETRIC aggregation
+    matrices (undirected graph + symmetric normalization, w_ij = w_ji):
+    d/dx (A x) = A^T g = A g, so the backward pass is the same
+    gather+einsum kernel — no scatter-add in either direction. This is what
+    makes end-to-end GCN *training* at scale run at the aggregation
+    kernel's speed (the default VJP of the gather is a scatter-add over
+    every edge slot).
+
+    `stacked` is the tuple from `build_node_sharded_buckets(...)[2]` as
+    device arrays."""
+
+    @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+    def run(x, num_nodes_, rows_, axis_, stacked_):
+        return spmm_node_sharded(mesh, x, num_nodes_, rows_, *stacked_,
+                                 axis=axis_)
+
+    def fwd(x, num_nodes_, rows_, axis_, stacked_):
+        return run(x, num_nodes_, rows_, axis_, stacked_), stacked_
+
+    def bwd(num_nodes_, rows_, axis_, stacked_, g):
+        dx = spmm_node_sharded(mesh, g, num_nodes_, rows_, *stacked_,
+                               axis=axis_)
+        # operand arrays get zero cotangents (float0 for the int layouts)
+        import numpy as np
+
+        zeros = tuple(
+            np.zeros(a.shape, jax.dtypes.float0)
+            if not jnp.issubdtype(a.dtype, jnp.inexact) else jnp.zeros_like(a)
+            for a in stacked_
+        )
+        return (dx, zeros)
+
+    run.defvjp(fwd, bwd)
+    return run(x, num_nodes, rows_per_shard, axis, stacked)
+
+
 def pad_edges_for_mesh(arrs, axis_size: int, pad_value=0):
     """Pad 1-D edge arrays to a multiple of the mesh axis size; returns
     (padded_arrays, valid_mask)."""

@@ -1,0 +1,209 @@
+"""End-to-end GCN link-prediction TRAINING at ogbl-collab scale.
+
+BASELINE config 5 exercised as actual training, not just kernel steps: a
+2-layer GCN link predictor over a ~235k-node power-law graph, node inputs
+from a learnable embedding table, every aggregation node(row)-sharded over
+the device mesh (`parallel.spmm_shard.spmm_node_sharded_sym` — gather-only
+in BOTH directions because the symmetric-normalized adjacency is its own
+transpose), edge scores = dot of endpoint representations, BCE over
+pos/neg edge batches, Adam, whole schedule one `lax.scan` device program.
+
+The reference cannot express this run at all: its largest graph is 620
+nodes on one CPU (`pages/🛠️Model.py:38`), and its only distributed
+component parallelizes walk generation, not GNN training
+(`node2vec_spark/.../Node2vec.scala:31-61`). The behavioral contract here
+is SURVEY §7 step 8 — partition the graph over the mesh, aggregate
+locally, let collectives assemble rows — carried to an end-to-end
+training loop with decreasing loss and a held-out test AUC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaleGCNConfig:
+    nodes: int = 235_000
+    edges: int = 1_280_000
+    max_degree: int = 64
+    emb_dim: int = 64
+    hidden: int = 128
+    steps: int = 60
+    batch_edges: int = 8192
+    test_fraction: float = 0.02
+    learning_rate: float = 5e-3
+    dtype: str = "bf16"  # aggregation/feature dtype; params stay f32
+    seed: int = 0
+
+
+def build_problem(cfg: ScaleGCNConfig):
+    """Synthetic collab-scale graph + train/test edge split + the
+    symmetric-normalized node-sharded aggregation layout.
+
+    Returns (graph, layout, train_pos, test_pos, test_neg) — all host
+    numpy; `layout` is (rows_per_shard, stacked arrays) for
+    `spmm_node_sharded_sym` (built later once the mesh size is known).
+    """
+    from benchmarks.scaling import synth_powerlaw_graph
+    from linkpred_tpu.data.graph import Graph
+    from linkpred_tpu.data.split import negative_sampling
+
+    rng = np.random.default_rng(cfg.seed)
+    lo, hi = synth_powerlaw_graph(cfg.nodes, cfg.edges, alpha=0.9,
+                                  seed=cfg.seed)
+    pairs = np.stack([lo, hi], axis=1)
+    perm = rng.permutation(len(pairs))
+    n_test = int(len(pairs) * cfg.test_fraction)
+    test_pos = pairs[perm[:n_test]]
+    train_pos = pairs[perm[n_test:]]
+    test_neg = negative_sampling(pairs, cfg.nodes, n_test, rng=rng)
+
+    # message graph = train positives only (held-out edges invisible)
+    g = Graph.from_undirected_edges(
+        train_pos[:, 0], train_pos[:, 1], num_nodes=cfg.nodes
+    ).with_degree_cap(cfg.max_degree, rng=rng)
+
+    # symmetric GCN normalization w_ij = 1/sqrt((d_i+1)(d_j+1)) — symmetric
+    # matrix, so the aggregation VJP is the same kernel (spmm_shard.py)
+    d = np.asarray(g.degree, np.float64) + 1.0
+    inv_sqrt = (1.0 / np.sqrt(d)).astype(np.float32)
+    w = inv_sqrt[:, None] * inv_sqrt[np.asarray(g.nbr)]
+    g = dataclasses.replace(g, nbr_weight=np.ascontiguousarray(w))
+    return g, train_pos, test_pos, test_neg
+
+
+def init_params(key, cfg: ScaleGCNConfig):
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.split(key, 5)
+
+    def glorot(kk, shape):
+        lim = float(np.sqrt(6.0 / (shape[0] + shape[1])))
+        return jax.random.uniform(kk, shape, jnp.float32, -lim, lim)
+
+    return {
+        "emb": jax.random.normal(k[0], (cfg.nodes, cfg.emb_dim)) * 0.1,
+        "w1": glorot(k[1], (cfg.emb_dim, cfg.hidden)),
+        "w1s": glorot(k[2], (cfg.emb_dim, cfg.hidden)),
+        "w2": glorot(k[3], (cfg.hidden, cfg.hidden)),
+        "w2s": glorot(k[4], (cfg.hidden, cfg.hidden)),
+    }
+
+
+def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
+                 verbose: bool = True) -> dict:
+    """Train end-to-end; returns losses, test AUC, and throughput."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from linkpred_tpu.parallel import make_mesh
+    from linkpred_tpu.parallel.spmm_shard import (
+        build_node_sharded_buckets,
+        spmm_node_sharded_sym,
+    )
+    from linkpred_tpu.utils import metrics
+
+    mesh = mesh or make_mesh(shape=(1, len(jax.devices())))
+    n_shards = mesh.shape["edge"]
+    dtype = jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
+
+    t0 = time.time()
+    g, train_pos, test_pos, test_neg = build_problem(cfg)
+    rows, _, stacked = build_node_sharded_buckets(g, n_shards)
+    stacked_j = tuple(jnp.asarray(a) for a in stacked)
+    build_seconds = time.time() - t0
+    e_directed = g.num_edges
+
+    rng = np.random.default_rng(cfg.seed + 1)
+    B, S = cfg.batch_edges, cfg.steps
+    pos_b = train_pos[rng.integers(0, len(train_pos), (S, B))].astype(np.int32)
+    neg_b = rng.integers(0, cfg.nodes, (S, B, 2)).astype(np.int32)
+
+    params = init_params(jax.random.PRNGKey(cfg.seed), cfg)
+    opt = optax.adam(cfg.learning_rate)
+    opt_state = opt.init(params)
+
+    def embed_all(p, stacked_):
+        x = p["emb"].astype(dtype)
+        a1 = spmm_node_sharded_sym(mesh, x, cfg.nodes, rows, stacked_)
+        h = jax.nn.relu(a1 @ p["w1"].astype(dtype) + x @ p["w1s"].astype(dtype))
+        a2 = spmm_node_sharded_sym(mesh, h, cfg.nodes, rows, stacked_)
+        return a2 @ p["w2"].astype(dtype) + h @ p["w2s"].astype(dtype)
+
+    def loss_fn(p, pos, neg, stacked_):
+        h = embed_all(p, stacked_)
+        logits = jnp.concatenate([
+            jnp.sum(h[pos[:, 0]] * h[pos[:, 1]], axis=-1),
+            jnp.sum(h[neg[:, 0]] * h[neg[:, 1]], axis=-1),
+        ]).astype(jnp.float32)
+        y = jnp.concatenate([jnp.ones((B,)), jnp.zeros((B,))])
+        return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+
+    @jax.jit
+    def train_scan(p, s, pos_all, neg_all, *stacked_):
+        def step(carry, inp):
+            p, s = carry
+            pos, neg = inp
+            loss, grads = jax.value_and_grad(loss_fn)(p, pos, neg, stacked_)
+            upd, s = opt.update(grads, s, p)
+            return (optax.apply_updates(p, upd), s), loss
+
+        (p, s), losses = jax.lax.scan(step, (p, s), (pos_all, neg_all))
+        return p, s, losses
+
+    @jax.jit
+    def test_logits(p, pairs, *stacked_):
+        h = embed_all(p, stacked_)
+        return jnp.sum(h[pairs[:, 0]] * h[pairs[:, 1]], axis=-1).astype(
+            jnp.float32)
+
+    pos_d, neg_d = jnp.asarray(pos_b), jnp.asarray(neg_b)
+    t0 = time.time()
+    _, _, l0 = train_scan(params, opt_state, pos_d[:1], neg_d[:1], *stacked_j)
+    float(l0[-1])
+    # full-schedule compile (scan length differs from the 1-step warmup)
+    params_w, _, _ = train_scan(params, opt_state, pos_d, neg_d, *stacked_j)
+    jax.block_until_ready(params_w)
+    compile_seconds = time.time() - t0
+
+    t0 = time.time()
+    params, opt_state, losses = train_scan(params, opt_state, pos_d, neg_d,
+                                           *stacked_j)
+    losses = np.asarray(losses)
+    train_seconds = time.time() - t0
+
+    both = np.concatenate([test_pos, test_neg]).astype(np.int32)
+    scores = np.asarray(test_logits(params, jnp.asarray(both), *stacked_j))
+    y = np.concatenate([np.ones(len(test_pos)), np.zeros(len(test_neg))])
+    auc = metrics.roc_auc_score(y, scores)
+
+    # 4 aggregation passes per step: 2 forward + 2 custom-VJP backward
+    agg_eps = 4 * e_directed * S / train_seconds
+    first_q = float(losses[: max(S // 4, 1)].mean())
+    last_q = float(losses[-max(S // 4, 1):].mean())
+    out = {
+        "nodes": cfg.nodes,
+        "directed_edges": int(e_directed),
+        "shards": int(n_shards),
+        "steps": S,
+        "loss_first_quarter": first_q,
+        "loss_last_quarter": last_q,
+        "loss_decreased": bool(last_q < first_q),
+        "test_auc": float(auc),
+        "train_seconds": round(train_seconds, 3),
+        "compile_seconds": round(compile_seconds, 1),
+        "build_seconds": round(build_seconds, 1),
+        "steps_per_s": round(S / train_seconds, 2),
+        "agg_edges_per_s": round(agg_eps),
+    }
+    if verbose:
+        print(f"collab-scale GCN: loss {first_q:.4f} -> {last_q:.4f}, "
+              f"test AUC {auc:.4f}, {out['steps_per_s']} steps/s, "
+              f"{agg_eps / 1e6:.0f}M agg-edges/s on {n_shards} shard(s)")
+    return out
