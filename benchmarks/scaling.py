@@ -348,6 +348,40 @@ def main():
         "ei2_cols": int(trn_a.e1_src.shape[0]),
     }))
 
+    # multi-device TwoWL: the trial axis sharded over the mesh's ``data``
+    # axis (`parallel.dp.shard_twowl_trials`) — N devices train N x T/N
+    # trial groups of the same program; equality with the replicated run is
+    # covered by tests/test_parallel.py. Reported as trial-epochs/s and
+    # efficiency vs the single-placement rate above (CPU-mesh caveat: the 8
+    # virtual devices share one host, so this floor-bounds the real chips).
+    if len(jax.devices()) > 1:
+        from linkpred_tpu.parallel.dp import shard_twowl_trials
+
+        tparams_s, tstate_s, tlrs_s, trates_s = shard_twowl_trials(
+            mesh, tparams, tstate, tlrs, trates)
+
+        def run_tw_sharded():
+            out = tw.train_scan_trials(
+                tparams_s, tstate_s, jax.random.PRNGKey(14), tpos, tneg,
+                trn_a, val_a, jnp.asarray(twd.val.y),
+                jnp.asarray(twd.node_deg), tcfg, topt, tlrs_s, sub_n, Et,
+                trates_s,
+            )
+            return float(jnp.sum(out[3][0]))
+
+        run_tw_sharded()  # compile
+        t0 = time.time()
+        run_tw_sharded()
+        dts = time.time() - t0
+        shards = mesh.shape["data"]
+        print(json.dumps({
+            "metric": "twowl_trial_epochs_per_s_sharded",
+            "value": round(T * Et / dts), "seconds_warm": round(dts, 3),
+            "trial_shards": shards,
+            "speedup_vs_single_placement": round(dt / dts, 3),
+            "scaling_efficiency": round(dt / dts / shards, 3),
+        }))
+
     # --- walk throughput -------------------------------------------------
     eng = WalkEngine(g)
     starts = jnp.asarray(

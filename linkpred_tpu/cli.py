@@ -165,6 +165,23 @@ def _cmd_stats(args):
         print("wrote assets/img/graph_viz.png")
 
 
+def _cmd_scale(args):
+    """End-to-end collab-scale GCN training over the device mesh
+    (`pipelines.gcn_scale`) — the BASELINE config-5 run as a user command."""
+    import json
+
+    from linkpred_tpu.pipelines.gcn_scale import ScaleGCNConfig, train_collab
+
+    res = train_collab(
+        ScaleGCNConfig(
+            nodes=args.nodes, edges=args.edges, steps=args.steps,
+            dtype=args.dtype, seed=args.seed,
+        ),
+        verbose=not args.quiet,
+    )
+    print(json.dumps(res))
+
+
 def _cmd_node2vec(args):
     """Standalone node2vec CLI — the equivalent of the reference's
     `node2vec/src/main.py` (walk + embed + save .emb)."""
@@ -234,6 +251,14 @@ def build_parser() -> argparse.ArgumentParser:
     pst = sub.add_parser("stats", help="dataset statistics + graph viz")
     pst.add_argument("--no-plot", action="store_true")
 
+    psc = sub.add_parser(
+        "scale", help="end-to-end collab-scale GCN training over the mesh"
+    )
+    psc.add_argument("--nodes", type=int, default=235_000)
+    psc.add_argument("--edges", type=int, default=1_280_000)
+    psc.add_argument("--steps", type=int, default=60)
+    psc.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+
     pn = sub.add_parser("node2vec", help="standalone node2vec embedding CLI")
     pn.add_argument("--input", required=True)
     pn.add_argument("--output", required=True)
@@ -262,6 +287,7 @@ def main(argv=None):
         "twowl": _cmd_twowl,
         "compare": _cmd_compare,
         "stats": _cmd_stats,
+        "scale": _cmd_scale,
         "node2vec": _cmd_node2vec,
     }[args.cmd]
     if args.profile:

@@ -163,6 +163,64 @@ def spmm_node_sharded(
     return out[:num_nodes] if pad_rows > num_nodes else out
 
 
+def spmm_node_sharded_pipelined(
+    mesh,
+    x: jnp.ndarray,  # [N, F] node features, ROW-sharded over `axis`
+    num_nodes: int,
+    rows_per_shard: int,
+    *stacked,
+    axis: str = "edge",
+    chunks: int = 4,
+) -> jnp.ndarray:
+    """Node-sharded SpMM with EXPLICIT collective/compute overlap.
+
+    `spmm_node_sharded` keeps x replicated and leaves the row assembly to
+    GSPMD — one [N, F] collective per layer, scheduled however the
+    compiler likes. This variant keeps x row-sharded (P(axis)) and
+    double-buffers on the FEATURE axis: the aggregation is linear over
+    features, so each F/chunks stripe needs only its own rows. Per stripe:
+    `all_gather` the stripe inside shard_map, then run the bucket einsums
+    for that stripe. Consecutive stripes give XLA's async-collective
+    scheduler a gather to issue while the previous stripe's einsums run —
+    the all-to-all-overlapped-with-local-aggregation design of SURVEY §5 /
+    BASELINE north star (the Spark analog: the per-step frontier `join`
+    of `Node2vec.scala:103-124` overlapped instead of barriered).
+
+    `chunks=1` is the explicit no-overlap baseline (one monolithic gather,
+    then all compute) for A/B measurement. Output is row-sharded P(axis).
+    Overlap materializes on real multi-chip ICI; on the virtual CPU mesh
+    this only validates numerics + shapes (docs/KERNELS.md, overlap).
+    """
+    n_shards = mesh.shape[axis]
+    f = x.shape[1]
+    assert f % chunks == 0, (f, chunks)
+    fc = f // chunks
+
+    def local(x_l, *ops):
+        pad = max(r.shape[1] for r in ops[::3])
+        out = jnp.zeros((rows_per_shard + pad, f), x_l.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if x_l.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        for c in range(chunks):
+            sl = slice(c * fc, (c + 1) * fc)
+            xg = jax.lax.all_gather(x_l[:, sl], axis, tiled=True)
+            for i in range(0, len(ops), 3):
+                ids, nb, wg = ops[i][0], ops[i + 1][0], ops[i + 2][0]
+                agg = jnp.einsum("nd,ndf->nf", wg.astype(x_l.dtype), xg[nb],
+                                 precision=prec)
+                out = out.at[ids, sl].set(agg, unique_indices=True,
+                                          indices_are_sorted=True)
+        return out[:rows_per_shard]
+
+    in_specs = (P(axis),) + (P(axis),) * len(stacked)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
+    pad_rows = rows_per_shard * n_shards
+    if x.shape[0] < pad_rows:
+        x = jnp.pad(x, ((0, pad_rows - x.shape[0]), (0, 0)))
+    out = fn(x, *stacked)
+    return out[:num_nodes] if pad_rows > num_nodes else out
+
+
 def spmm_node_sharded_sym(mesh, x, num_nodes, rows_per_shard, stacked,
                           axis: str = "edge"):
     """`spmm_node_sharded` with a custom VJP for SYMMETRIC aggregation
