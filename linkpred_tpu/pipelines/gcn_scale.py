@@ -163,6 +163,8 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
         return jnp.sum(h[pairs[:, 0]] * h[pairs[:, 1]], axis=-1).astype(
             jnp.float32)
 
+    from linkpred_tpu.utils.profiling import ThroughputCounter
+
     pos_d, neg_d = jnp.asarray(pos_b), jnp.asarray(neg_b)
     t0 = time.time()
     _, _, l0 = train_scan(params, opt_state, pos_d[:1], neg_d[:1], *stacked_j)
@@ -172,19 +174,20 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
     jax.block_until_ready(params_w)
     compile_seconds = time.time() - t0
 
-    t0 = time.time()
-    params, opt_state, losses = train_scan(params, opt_state, pos_d, neg_d,
-                                           *stacked_j)
-    losses = np.asarray(losses)
-    train_seconds = time.time() - t0
+    # 4 aggregation passes per step: 2 forward + 2 custom-VJP backward
+    counter = ThroughputCounter(unit="agg-edges")
+    with counter.span(4 * e_directed * S):
+        params, opt_state, losses = train_scan(params, opt_state, pos_d,
+                                               neg_d, *stacked_j)
+        losses = np.asarray(losses)
+    train_seconds = counter.seconds
 
     both = np.concatenate([test_pos, test_neg]).astype(np.int32)
     scores = np.asarray(test_logits(params, jnp.asarray(both), *stacked_j))
     y = np.concatenate([np.ones(len(test_pos)), np.zeros(len(test_neg))])
     auc = metrics.roc_auc_score(y, scores)
 
-    # 4 aggregation passes per step: 2 forward + 2 custom-VJP backward
-    agg_eps = 4 * e_directed * S / train_seconds
+    agg_eps = counter.rate
     first_q = float(losses[: max(S // 4, 1)].mean())
     last_q = float(losses[-max(S // 4, 1):].mean())
     out = {
