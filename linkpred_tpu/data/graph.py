@@ -138,20 +138,61 @@ class Graph:
         dst = np.concatenate([hi, lo])
         return Graph.from_edges(src, dst, num_nodes=num_nodes, max_degree=max_degree)
 
-    def with_degree_cap(self, cap: int, rng=None) -> "Graph":
+    def with_degree_cap(self, cap: int, rng=None,
+                        symmetric: bool = False) -> "Graph":
         """Keep at most `cap` out-edges per node (random subset) — the walk
         engine's analog of the Spark loader's degree cap
         (reference `Node2vec.scala:47-49`, cap 30). Bounds ELL width and
-        alias-table size on power-law graphs."""
+        alias-table size on power-law graphs.
+
+        `symmetric=True` caps by dropping *undirected pairs* (both
+        orientations of an edge go together), so the capped adjacency of an
+        undirected graph stays symmetric. Required whenever the result
+        feeds a kernel whose backward assumes `A == A^T`
+        (`parallel.spmm_shard.spmm_node_sharded_sym`): the per-orientation
+        cap drops out-edges independently and produces an asymmetric
+        pattern on any graph with hubs, silently corrupting that VJP."""
         rng = rng or np.random.default_rng(0)
-        keep = np.ones(self.num_edges, dtype=bool)
-        for v in np.nonzero(self.degree > cap)[0]:
-            lo, hi = self.indptr[v], self.indptr[v + 1]
-            drop = rng.permutation(hi - lo)[: (hi - lo) - cap]
-            keep[lo + drop] = False
-        return Graph.from_edges(
-            self.src[keep], self.dst[keep], num_nodes=self.num_nodes
-        )
+        if not symmetric:
+            keep = np.ones(self.num_edges, dtype=bool)
+            for v in np.nonzero(self.degree > cap)[0]:
+                lo, hi = self.indptr[v], self.indptr[v + 1]
+                drop = rng.permutation(hi - lo)[: (hi - lo) - cap]
+                keep[lo + drop] = False
+            return Graph.from_edges(
+                self.src[keep], self.dst[keep], num_nodes=self.num_nodes
+            )
+
+        # Symmetric: one pass over over-cap nodes dropping whole pairs.
+        # Processing node v leaves deg(v) <= cap; later drops only ever
+        # REDUCE degrees, so a single pass caps every node.
+        pairs = self.undirected_pairs()  # [M, 2], lo < hi
+        m = len(pairs)
+        # incident pair ids per node, CSR-style over the doubled endpoints
+        ends = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        pid = np.tile(np.arange(m, dtype=np.int64), 2)
+        order = np.argsort(ends, kind="stable")
+        ends_s, pid_s = ends[order], pid[order]
+        deg = np.bincount(ends_s, minlength=self.num_nodes)
+        ptr = np.zeros(self.num_nodes + 1, dtype=np.int64)
+        np.cumsum(deg, out=ptr[1:])
+        kept = np.ones(m, dtype=bool)
+        cur = deg.copy()
+        for v in np.nonzero(deg > cap)[0]:
+            if cur[v] <= cap:
+                continue
+            mine = pid_s[ptr[v]:ptr[v + 1]]
+            alive = mine[kept[mine]]
+            drop = rng.permutation(len(alive))[: len(alive) - cap]
+            dropped = alive[drop]
+            kept[dropped] = False
+            other = np.where(pairs[dropped, 0] == v, pairs[dropped, 1],
+                             pairs[dropped, 0])
+            cur[v] = cap
+            np.subtract.at(cur, other, 1)
+        p = pairs[kept]
+        return Graph.from_undirected_edges(p[:, 0], p[:, 1],
+                                           num_nodes=self.num_nodes)
 
     # ------------------------------------------------------------------
     # derived quantities

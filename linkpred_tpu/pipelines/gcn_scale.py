@@ -62,10 +62,15 @@ def build_problem(cfg: ScaleGCNConfig):
     train_pos = pairs[perm[n_test:]]
     test_neg = negative_sampling(pairs, cfg.nodes, n_test, rng=rng)
 
-    # message graph = train positives only (held-out edges invisible)
+    # message graph = train positives only (held-out edges invisible).
+    # The cap MUST be symmetric (drop whole undirected pairs): the sharded
+    # aggregation's custom VJP reuses the forward kernel as A^T, which is
+    # only correct when the capped sparsity pattern is symmetric. A
+    # per-orientation cap here trains with ~90% wrong gradients on hub
+    # graphs (tests/test_parallel.py::TestNodeShardedSymVJP::test_gradient_capped_hubs).
     g = Graph.from_undirected_edges(
         train_pos[:, 0], train_pos[:, 1], num_nodes=cfg.nodes
-    ).with_degree_cap(cfg.max_degree, rng=rng)
+    ).with_degree_cap(cfg.max_degree, rng=rng, symmetric=True)
 
     # symmetric GCN normalization w_ij = 1/sqrt((d_i+1)(d_j+1)) — symmetric
     # matrix, so the aggregation VJP is the same kernel (spmm_shard.py)
@@ -166,19 +171,21 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
     from linkpred_tpu.utils.profiling import ThroughputCounter
 
     pos_d, neg_d = jnp.asarray(pos_b), jnp.asarray(neg_b)
+    # AOT compile so compile_seconds measures compilation alone and the
+    # training schedule executes exactly once (a warm-up execution would
+    # double total work and fold a full run into the "compile" number).
     t0 = time.time()
-    _, _, l0 = train_scan(params, opt_state, pos_d[:1], neg_d[:1], *stacked_j)
-    float(l0[-1])
-    # full-schedule compile (scan length differs from the 1-step warmup)
-    params_w, _, _ = train_scan(params, opt_state, pos_d, neg_d, *stacked_j)
-    jax.block_until_ready(params_w)
+    train_compiled = train_scan.lower(params, opt_state, pos_d, neg_d,
+                                      *stacked_j).compile()
     compile_seconds = time.time() - t0
 
-    # 4 aggregation passes per step: 2 forward + 2 custom-VJP backward
+    # 4 aggregation passes per step: 2 forward + 2 custom-VJP backward.
+    # Single execution (inputs are already device-resident); steady-state
+    # per-kernel rates come from the spmm gates.
     counter = ThroughputCounter(unit="agg-edges")
     with counter.span(4 * e_directed * S):
-        params, opt_state, losses = train_scan(params, opt_state, pos_d,
-                                               neg_d, *stacked_j)
+        params, opt_state, losses = train_compiled(params, opt_state, pos_d,
+                                                   neg_d, *stacked_j)
         losses = np.asarray(losses)
     train_seconds = counter.seconds
 

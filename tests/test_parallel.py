@@ -308,6 +308,61 @@ class TestNodeShardedSymVJP:
         gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(x)))
         np.testing.assert_allclose(gs, gd, rtol=1e-4, atol=1e-4)
 
+    def test_gradient_capped_hubs(self, mesh, rng):
+        """Regression for the round-2 advisor finding: a degree cap applied
+        per-orientation breaks A == A^T on hub graphs, and the gather-only
+        backward of `spmm_node_sharded_sym` then returns ~90%-wrong
+        gradients. The symmetric cap (drop whole undirected pairs) must
+        keep the custom-VJP gradient equal to dense autodiff on a hub
+        graph whose every hub is over the cap."""
+        import dataclasses
+
+        from linkpred_tpu.parallel.spmm_shard import (
+            build_node_sharded_buckets,
+            spmm_node_sharded_sym,
+        )
+
+        n, cap = 80, 6
+        # 4 hubs connected to everything + random tail edges
+        hubs = np.arange(4)
+        u = np.concatenate([np.repeat(hubs, n - 1),
+                            rng.integers(0, n, 120)])
+        v = np.concatenate([np.tile(np.arange(1, n), 4) % n,
+                            rng.integers(0, n, 120)])
+        keep = u != v
+        g = Graph.from_undirected_edges(u[keep], v[keep], num_nodes=n)
+        g = g.with_degree_cap(cap, rng=np.random.default_rng(7),
+                              symmetric=True)
+        assert int(g.degree.max()) <= cap
+        # symmetric pattern: (i,j) present iff (j,i) present
+        a_bool = g.has_edge_matrix()
+        assert (a_bool == a_bool.T).all()
+
+        d = np.asarray(g.degree, np.float64) + 1.0
+        inv = (1.0 / np.sqrt(d)).astype(np.float32)
+        w = inv[:, None] * inv[np.asarray(g.nbr)]
+        g = dataclasses.replace(g, nbr_weight=np.ascontiguousarray(w))
+        rows, _, stacked = build_node_sharded_buckets(g, mesh.shape["edge"])
+        stacked_j = tuple(jnp.asarray(a) for a in stacked)
+        x = rng.standard_normal((n, 8)).astype(np.float32)
+        t = rng.standard_normal((n, 8)).astype(np.float32)
+
+        def loss_sharded(xx):
+            out = spmm_node_sharded_sym(mesh, xx, n, rows, stacked_j)
+            return jnp.sum(out * t)
+
+        a = np.zeros((n, n), np.float32)
+        nbr, m = np.asarray(g.nbr), np.asarray(g.nbr_mask)
+        for i in range(n):
+            a[i, nbr[i][m[i]]] = w[i][m[i]]
+
+        def loss_dense(xx):
+            return jnp.sum((jnp.asarray(a) @ xx) * t)
+
+        gs = np.asarray(jax.grad(loss_sharded)(jnp.asarray(x)))
+        gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(x)))
+        np.testing.assert_allclose(gs, gd, rtol=1e-4, atol=1e-4)
+
 
 class TestCollabScaleTraining:
     def test_end_to_end_tiny(self):
