@@ -63,22 +63,47 @@ def gate_spmm(g, feats=128):
     from benchmarks.scaling import bench_chained
     from linkpred_tpu.ops import spmm
 
+    import jax
+
     e, n = g.num_edges, g.num_nodes
     layout = spmm.BucketedEll.from_graph(g)
     ops = layout.operands()
-    out = {"nodes": n, "directed_edges": int(e), "feats": feats}
+    slots = sum(int(b[1].size) for b in layout.buckets)
+    out = {"nodes": n, "directed_edges": int(e), "feats": feats,
+           "padded_slots": slots}
     x32 = jnp.asarray(np.random.default_rng(2).standard_normal(
         (n, feats)).astype(np.float32))
+    idx = jnp.asarray(np.random.default_rng(3).integers(
+        0, n, slots).astype(np.int32))
+
+    @jax.jit
+    def row_gather(x, idx):
+        return x[idx]
+
     for dtype, b, tag in ((jnp.float32, 4, "f32"), (jnp.bfloat16, 2, "bf16")):
         x = x32.astype(dtype)
+        # dtype-matched achievable ceiling: a bare random row gather of the
+        # SAME slot count and row size the kernel performs (round 2
+        # compared bf16 256 B-row gathers against an f32 512 B-row ceiling)
+        dt_g = bench_chained(row_gather, x, idx)
+        gather_traffic = slots * feats * b + slots * 4 + slots * feats * b
+        gather_gbs = gather_traffic / dt_g / 1e9
         dt = bench_chained(
             lambda x, *o: spmm.spmm_bucketed(x, n, *o), x, *ops)
+        # true-edge traffic (the conventional "effective" number) and the
+        # kernel's ACTUAL slot traffic (what the hardware really moves)
         traffic = e * feats * b + e * 4 + n * feats * b
+        actual = slots * feats * b + slots * (4 + b) + n * feats * b
         gbs = traffic / dt / 1e9
         out[f"bucketed_{tag}"] = {
             "edges_per_s": round(e / dt),
             "eff_gb_s": round(gbs, 1),
+            "actual_gb_s": round(actual / dt / 1e9, 1),
             "pct_hbm_peak": round(100 * gbs / PEAK_HBM_GBS, 1),
+            "gather_roofline_gb_s": round(gather_gbs, 1),
+            # the kernel must at minimum perform this exact gather, so
+            # dt_gather is its floor time; 100% = gather-speed-of-light
+            "pct_gather_roofline": round(100 * dt_g / dt, 1),
         }
     return out
 
@@ -114,12 +139,53 @@ def gate_node_sharded(g, feats=128):
     dtm = bench_chained(
         lambda x, *o: spmm_node_sharded(mesh, x, n, rows, *o), x, *sj)
     eff = (e / dtm) / ((e / dt1) * shards)
-    return {
+    out = {
         "shards": shards,
         "edges_per_s": round(e / dtm),
         "scaling_efficiency": round(eff, 3),
         "meets_80pct_gate": bool(eff >= 0.80),
     }
+    if shards == 1:
+        out["note"] = ("1 shard — self-comparison (mesh-path overhead "
+                       "only); multi-shard number is the "
+                       "node_sharded_mesh_multi gate")
+    return out
+
+
+def gate_node_sharded_multi(nodes=100_000, edges=600_000):
+    """Multi-shard scaling efficiency on the virtual 8-device CPU mesh,
+    run in a SUBPROCESS (the bench process owns the TPU client; a second
+    platform in-process is not possible). Structurally pessimistic — the 8
+    'devices' share one host's memory bandwidth, so the 1-device baseline
+    already uses the whole machine — but it is a real >=4-shard collective
+    measurement committed to the artifact (round 2 had none)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/scaling.py", "--mesh-only",
+         "--nodes", str(nodes), "--edges", str(edges)],
+        capture_output=True, text=True, timeout=480, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("metric") == "spmm_node_sharded_bucketed":
+            rec["platform"] = "cpu-virtual-mesh (shared-memory collectives)"
+            return rec
+    raise RuntimeError(
+        f"mesh-only subprocess produced no metric (rc {proc.returncode}): "
+        f"{proc.stderr[-300:]}")
 
 
 def gate_walks(g, walkers=65_536, length=16):
@@ -141,19 +207,43 @@ def gate_walks(g, walkers=65_536, length=16):
 
 
 def gate_sgns(num_nodes=235_000, walk_length=16):
+    """SGNS throughput with host prep separated from the device loop.
+
+    Round-2's number folded a pure-Python 235k-entry Vose alias build into
+    every timed call; the gate now reports `host_prep_s` (one-time, via the
+    C++ alias plane) and `tokens_per_s_device` / `pairs_per_s_device` for
+    the steady-state jit loop alone. `gensim_baseline_words_per_s` is a
+    cited figure, not a measurement — gensim is not installable in this
+    image; the published gensim word2vec benchmark sustains ~0.3-0.6M
+    words/s for skip-gram sg=1 on 8 cores (RaRe benchmark suite /
+    word2vec release notes), recorded here so "match or beat" is checked
+    against a concrete number.
+    """
     import jax
     import numpy as np
 
-    from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
+    from linkpred_tpu.models.word2vec import (
+        SGNSConfig, prepare_sgns, train_sgns)
 
     walks = np.random.default_rng(5).integers(
-        0, num_nodes, (4096, walk_length), dtype=np.int32)
+        0, num_nodes, (65536, walk_length), dtype=np.int32)
     cfg = SGNSConfig(dim=128, epochs=1, batch_size=65536)
-    train_sgns(jax.random.PRNGKey(7), walks, num_nodes, cfg)  # compile
+    prep = prepare_sgns(walks, num_nodes, cfg)
+    train_sgns(jax.random.PRNGKey(7), walks, num_nodes, cfg, prep=prep)
     t0 = time.perf_counter()
-    train_sgns(jax.random.PRNGKey(17), walks, num_nodes, cfg)
+    train_sgns(jax.random.PRNGKey(17), walks, num_nodes, cfg, prep=prep)
     dt = time.perf_counter() - t0
-    return {"tokens_per_s": round(walks.size / dt)}
+    pairs = walks.size * cfg.window * 2 * cfg.epochs  # candidate pairs
+    baseline = 450_000
+    tok_s = round(walks.size * cfg.epochs / dt)
+    return {"tokens_per_s_device": tok_s,
+            "pairs_per_s_device": round(pairs / dt),
+            "host_prep_s": round(prep.prep_seconds, 3),
+            "native_alias": bool(__import__(
+                "linkpred_tpu.native", fromlist=["available"]).available()),
+            "gensim_baseline_words_per_s": baseline,
+            "gensim_baseline_kind": "cited (sg=1, 8 threads); not measured",
+            "beats_gensim_cited": bool(tok_s > baseline)}
 
 
 def gate_seal(num_nodes=235_000):
@@ -194,10 +284,17 @@ def gate_collab_e2e():
     from linkpred_tpu.pipelines.gcn_scale import ScaleGCNConfig, train_collab
 
     out = train_collab(ScaleGCNConfig(steps=30), verbose=False)
-    return {k: out[k] for k in (
+    res = {k: out[k] for k in (
         "nodes", "directed_edges", "shards", "loss_first_quarter",
         "loss_last_quarter", "loss_decreased", "test_auc", "steps_per_s",
         "agg_edges_per_s", "train_seconds", "compile_seconds")}
+    # The flagship scale claim HARD-FAILS if training diverges at the
+    # benched config (round-2 recorded loss 0.60->0.76 without failing
+    # anything; cause was an asymmetric degree cap corrupting the
+    # symmetric-SpMM VJP, fixed in data/graph.py with_degree_cap).
+    if not res["loss_decreased"]:
+        raise RuntimeError(f"collab e2e training DIVERGED: {json.dumps(res)}")
+    return res
 
 
 def main():
@@ -257,6 +354,8 @@ def main():
         _gate(gates, "seal_step", gate_seal, deadline)
         _gate(gates, "spmm_single_chip", lambda: gate_spmm(g), deadline)
         _gate(gates, "node_sharded_mesh", lambda: gate_node_sharded(g),
+              deadline)
+        _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
               deadline)
         _gate(gates, "collab_e2e_training", gate_collab_e2e, deadline)
 

@@ -127,8 +127,60 @@ def main():
     ap.add_argument("--train-e2e", action="store_true",
                     help="ONLY run the end-to-end collab-scale GCN training "
                          "(pipelines.gcn_scale) and print its JSON")
+    ap.add_argument("--mesh-only", action="store_true",
+                    help="ONLY run the node-sharded mesh SpMM scaling "
+                         "measurement and print its JSON (used by bench.py "
+                         "to capture a multi-shard number from a CPU-mesh "
+                         "subprocess)")
     ap.add_argument("--steps", type=int, default=60)
     args = ap.parse_args()
+
+    if args.mesh_only:
+        import jax
+        import jax.numpy as jnp
+
+        from linkpred_tpu.data.graph import Graph
+        from linkpred_tpu.ops import spmm
+        from linkpred_tpu.parallel import make_mesh
+        from linkpred_tpu.parallel.spmm_shard import (
+            build_node_sharded_buckets,
+            spmm_node_sharded,
+        )
+
+        lo, hi = synth_powerlaw_graph(args.nodes, args.edges, alpha=0.9,
+                                      seed=0)
+        g = Graph.from_undirected_edges(lo, hi, num_nodes=args.nodes)
+        g = g.with_degree_cap(args.max_degree,
+                              rng=np.random.default_rng(1), symmetric=True)
+        e_directed = g.num_edges
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (args.nodes, args.feats)).astype(np.float32))
+        layout = spmm.BucketedEll.from_graph(g)
+        eps_1 = e_directed / bench_chained(
+            lambda x, *ops: spmm.spmm_bucketed(x, args.nodes, *ops),
+            x, *layout.operands())
+        n_shards = len(jax.devices())
+        mesh_all = make_mesh(shape=(1, n_shards))
+        rows, _, stacked = build_node_sharded_buckets(g, n_shards)
+        stacked_j = tuple(jnp.asarray(a) for a in stacked)
+        dt = bench_chained(
+            lambda x, *ops: spmm_node_sharded(
+                mesh_all, x, args.nodes, rows, *ops), x, *stacked_j)
+        eps = e_directed / dt
+        print(json.dumps({
+            "metric": "spmm_node_sharded_bucketed", "shards": n_shards,
+            "edges_per_s": round(eps), "seconds": round(dt, 4),
+            "single_device_edges_per_s": round(eps_1),
+            "scaling_efficiency": round(eps / (eps_1 * n_shards), 3),
+            "vs_whole_machine_single": round(eps / eps_1, 3),
+            "note": ("virtual CPU mesh: all shards share ONE host's "
+                     "memory bandwidth and the 1-'device' baseline "
+                     "already uses the whole machine, so per-shard "
+                     "efficiency is structurally pessimistic; "
+                     "vs_whole_machine_single is the sharding overhead "
+                     "(collectives + partition imbalance) on this host"),
+        }))
+        return
 
     if args.train_e2e:
         import jax

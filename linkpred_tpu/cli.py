@@ -219,10 +219,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
-        "--profile", nargs="?", const="logs/profile", default=None,
-        metavar="DIR",
+        "--profile", action="store_true",
         help="capture a jax.profiler device trace for the whole command "
-             "(XProf/TensorBoard readable; default dir logs/profile)",
+             "into logs/profile (XProf/TensorBoard readable)",
+    )
+    p.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="like --profile but into DIR (a separate flag: an optional "
+             "argument on --profile itself would swallow the subcommand, "
+             "e.g. `--profile scale`)",
     )
     p.add_argument(
         "--set", action="append", metavar="KEY=VALUE",
@@ -290,12 +295,13 @@ def main(argv=None):
         "scale": _cmd_scale,
         "node2vec": _cmd_node2vec,
     }[args.cmd]
-    if args.profile:
+    profile_dir = args.profile_dir or ("logs/profile" if args.profile else None)
+    if profile_dir:
         from linkpred_tpu.utils.profiling import device_trace
 
-        with device_trace(args.profile):
+        with device_trace(profile_dir):
             cmd(args)
-        print(f"wrote device trace to {args.profile}")
+        print(f"wrote device trace to {profile_dir}")
     else:
         cmd(args)
 

@@ -75,15 +75,23 @@ def random_split_edges(
     up = up[perm]
     val_pos, test_pos, train_pos = up[:n_v], up[n_v : n_v + n_t], up[n_v + n_t :]
 
-    # dense upper-triangular non-edge mask (fine for graphs up to ~20k nodes;
-    # larger graphs should use `negative_sampling` below)
-    neg_mask = np.triu(np.ones((num_nodes, num_nodes), dtype=bool), k=1)
-    neg_mask[up[:, 0], up[:, 1]] = False
-    neg_row, neg_col = np.nonzero(neg_mask)
-    sel = rng.permutation(neg_row.shape[0])[: n_v + n_t]
-    neg_row, neg_col = neg_row[sel], neg_col[sel]
-    val_neg = np.stack([neg_row[:n_v], neg_col[:n_v]], axis=1)
-    test_neg = np.stack([neg_row[n_v:], neg_col[n_v:]], axis=1)
+    if num_nodes <= 20_000:
+        # dense upper-triangular non-edge mask — exact uniform sample over
+        # ALL non-edges, O(N^2) memory (fine to ~20k nodes / 400 MB)
+        neg_mask = np.triu(np.ones((num_nodes, num_nodes), dtype=bool), k=1)
+        neg_mask[up[:, 0], up[:, 1]] = False
+        neg_row, neg_col = np.nonzero(neg_mask)
+        sel = rng.permutation(neg_row.shape[0])[: n_v + n_t]
+        neg_row, neg_col = neg_row[sel], neg_col[sel]
+        val_neg = np.stack([neg_row[:n_v], neg_col[:n_v]], axis=1)
+        test_neg = np.stack([neg_row[n_v:], neg_col[n_v:]], axis=1)
+    else:
+        # sampled path for large graphs: rejection sampling is the same
+        # uniform distribution over non-edges (sparse graphs reject ~E/N^2
+        # of draws), with O(E) memory — at 235k nodes the dense mask would
+        # be ~55 GB. Routed through the C++ plane when available.
+        vt = negative_sampling(up, num_nodes, n_v + n_t, rng=rng)
+        val_neg, test_neg = vt[:n_v], vt[n_v:]
 
     exclude = np.concatenate([up, val_neg, test_neg], axis=0)
     train_neg = negative_sampling(
@@ -106,16 +114,29 @@ def negative_sampling(
     num_samples: int,
     rng: np.random.Generator | None = None,
     max_rounds: int = 16,
+    use_native: bool | None = None,
 ) -> np.ndarray:
     """Uniformly sample `num_samples` node pairs (u < v, u != v) that are not
     in `exclude_pairs` (order-insensitive). Rejection sampling with
     oversampling rounds; equivalent in distribution to PyG's
     `negative_sampling` used at reference `TwoWL/operators/datasets.py:176`.
+
+    Determinism caveat: the C++ path (native/graphlib.cpp, mt19937_64 from
+    a seed drawn off `rng`) and the numpy fallback consume the Generator
+    differently, so the SAME `rng` state yields DIFFERENT (equally valid)
+    samples depending on whether `libgraphlib.so` loads; the native path
+    also ignores `max_rounds` (it rejects until filled). Each path is
+    deterministic given `rng`. Pass `use_native=False` (or `True`) to pin
+    one path when cross-environment reproducibility matters.
     """
     rng = rng or np.random.default_rng(0)
     from linkpred_tpu import native
 
-    if native.load_library() is not None:
+    if use_native is None:
+        use_native = native.load_library() is not None
+    elif use_native and native.load_library() is None:
+        raise RuntimeError("use_native=True but libgraphlib.so is not available")
+    if use_native:
         # C++ host data plane (native/graphlib.cpp sample_negatives):
         # rejection sampling against the sorted exclude-key array; the seed
         # is drawn from `rng` so a given Generator state stays deterministic

@@ -47,11 +47,50 @@ class SGNSConfig:
 
 
 def _noise_alias(counts: np.ndarray, ns_exponent: float):
-    """Alias table over the unigram^0.75 noise distribution."""
+    """Alias table over the unigram^0.75 noise distribution.
+
+    Routed through the threaded C++ alias builder (`native.build_alias_rows`)
+    when the host library is available: the pure-Python Vose loop costs
+    seconds at a 235k-entry vocabulary and used to be paid *inside* every
+    `train_sgns` call, contaminating throughput measurements (round-2
+    bench). Fallback is the numpy/Python reference implementation."""
+    from linkpred_tpu import native
+
     p = counts.astype(np.float64) ** ns_exponent
     p = p / p.sum()
-    J, q = alias_setup_rows(p[None, :], np.ones((1, len(p)), dtype=bool))
+    valid = np.ones((1, len(p)), dtype=bool)
+    if native.available():
+        J, q = native.build_alias_rows(p[None, :], valid)
+    else:
+        J, q = alias_setup_rows(p[None, :], valid)
     return J[0], q[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class SGNSPrep:
+    """Host-side preparation for one walk corpus: noise alias + subsample
+    keep-probabilities. Build once per corpus (`prepare_sgns`) and reuse
+    across `train_sgns` calls — the alias depends only on token counts, not
+    on the PRNG key or schedule, so rebuilding it per call is pure waste
+    (gensim likewise builds its cumulative noise table once in
+    `make_cum_table`, reference `requirements.txt:13` dependency)."""
+
+    noise_J: np.ndarray
+    noise_q: np.ndarray
+    keep: np.ndarray
+    prep_seconds: float
+
+
+def prepare_sgns(
+    walks_np: np.ndarray, num_nodes: int, cfg: SGNSConfig = SGNSConfig()
+) -> SGNSPrep:
+    import time
+
+    t0 = time.perf_counter()
+    counts = np.bincount(walks_np.reshape(-1), minlength=num_nodes)
+    noise_J, noise_q = _noise_alias(counts, cfg.ns_exponent)
+    keep = _keep_prob(counts, cfg.subsample)
+    return SGNSPrep(noise_J, noise_q, keep, time.perf_counter() - t0)
 
 
 def _keep_prob(counts: np.ndarray, sample: float) -> np.ndarray:
@@ -141,17 +180,21 @@ def train_sgns(
     walks,
     num_nodes: int,
     cfg: SGNSConfig = SGNSConfig(),
+    prep: SGNSPrep | None = None,
 ) -> np.ndarray:
     """Train SGNS embeddings from a walk matrix; returns [num_nodes, dim].
 
     Nodes never visited by a walk keep their (tiny random) init — the SEAL
     pipeline overwrites those rows with the average embedding, matching
     reference `SEAL/config/data.py:68-76`.
+
+    Pass a `prepare_sgns` result as `prep` to skip the host-side noise
+    -table build (it depends only on the corpus).
     """
     walks_np = np.asarray(walks)
-    counts = np.bincount(walks_np.reshape(-1), minlength=num_nodes)
-    noise_J, noise_q = _noise_alias(counts, cfg.ns_exponent)
-    keep = _keep_prob(counts, cfg.subsample)
+    if prep is None:
+        prep = prepare_sgns(walks_np, num_nodes, cfg)
+    noise_J, noise_q, keep = prep.noise_J, prep.noise_q, prep.keep
 
     # Batch-synchronous SGD sums colliding row updates; on tiny
     # vocabularies a large batch piles O(batch/num_nodes) sequential-SGD

@@ -96,6 +96,11 @@ def train_routine(
     best_val, tst_score, since_best = 0.0, 0.0, 0
     best_roc = (None, None)
     t_eval = 0.0
+    # warm the test-eval program shape ONCE so recorded Times are warm
+    # evals comparable to the reference's 0.07-0.14 s (`train.py:99-101`);
+    # round-2 records were ~10x off because the first new-best epoch's
+    # timed eval included the jit compile.
+    evaluate(params, cfg, data, data.test)
     for epoch in range(run.epochs):
         pos_ids = jnp.asarray(
             rng.permutation(n_pos_pairs)[:P].astype(np.int32)
@@ -143,10 +148,17 @@ def train_routine_fused(
 ) -> dict:
     """Fused variant of `train_routine`: the whole epoch loop runs as one
     on-device `lax.scan` (`models.twowl.train_scan`) with on-device val AUC
-    and best-val parameter tracking — zero host round-trips per epoch. Runs
-    all `run.epochs` epochs (no early stop; best-val selection makes the
-    extra epochs harmless). The test split is scored once at the end with
-    the best parameters."""
+    and best-val parameter tracking — zero host round-trips per epoch.
+
+    Early stop is preserved at CHUNK resolution (the scan is already
+    chunked at `run.chunk_epochs` for the 60 s device-program limit): if
+    the best val AUC has not improved for more than `run.early_stop`
+    epochs — counting conservatively from the END of the chunk that last
+    improved it — training stops before the next chunk. This matches the
+    reference contract (`train.py:86-107`) to within one chunk of extra
+    epochs; documented in docs/DESIGN.md deviations. The test split is
+    scored once at the end with the best parameters (eval shape warmed
+    before timing so the recorded Time is a warm eval)."""
     key = key if key is not None else jax.random.PRNGKey(run.seed)
     key, k_init = jax.random.split(key)
     params = m.init_params(k_init, cfg)
@@ -178,6 +190,8 @@ def train_routine_fused(
     hists = []
     val_y = jnp.asarray(data.val.y)
     node_deg = jnp.asarray(data.node_deg)
+    last_improve_end = 0  # end-epoch of the last chunk that improved best
+    prev_best = float(best[1])
     for start in range(0, E, chunk):
         stop = min(start + chunk, E)
         key, k_scan = jax.random.split(key)
@@ -190,12 +204,27 @@ def train_routine_fused(
         )
         best = (best_p, best_a)
         hists.append(h)
+        cur_best = float(best_a)
+        if cur_best > prev_best:
+            prev_best, last_improve_end = cur_best, stop
+        if verbose:
+            loss_c = float(jnp.mean(h[0]))
+            val_c = float(h[1][-1])
+            print(f"  epochs {start:4d}-{stop:<4d} loss {loss_c:.4f} "
+                  f"val {val_c:.4f} best {cur_best:.4f}", flush=True)
+        if stop - last_improve_end > run.early_stop:
+            if verbose:
+                print(f"  early stop at epoch {stop} "
+                      f"(no val improvement in > {run.early_stop} epochs)",
+                      flush=True)
+            break
     best_params, best_auc = best
     hist = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *hists
     )
     best_val = float(best_auc)
 
+    evaluate(best_params, cfg, data, data.test)  # warm the eval shape
     t0 = time.perf_counter()
     tst_score, tst_scores = evaluate(best_params, cfg, data, data.test)
     t_eval = time.perf_counter() - t0
@@ -286,6 +315,11 @@ def refine_vmapped(
             stop - start, rates, init_best=best,
         )
         best = (best_p, best_a)
+        if verbose:
+            a = np.asarray(best_a)
+            print(f"  refine epochs {start:4d}-{stop:<4d} "
+                  f"best val {a.max():.4f} (median {np.median(a):.4f} "
+                  f"over {n_trials} trials)", flush=True)
     best_params, best_aucs = best
 
     return _finish_refine(
@@ -431,7 +465,7 @@ def run_twowl(
             with timer.span(f"trial {trial}"):
                 res = routine(
                     data, cfg, run,
-                    key=jax.random.PRNGKey(run.seed + trial), verbose=False,
+                    key=jax.random.PRNGKey(run.seed + trial), verbose=verbose,
                 )
             trial_seconds = time.perf_counter() - t0
             records.write_record(

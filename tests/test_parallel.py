@@ -381,6 +381,25 @@ class TestCollabScaleTraining:
         assert out["loss_decreased"], out
         assert out["test_auc"] > 0.55, out
 
+    def test_end_to_end_tiny_bf16(self):
+        """The DEFAULT (bf16 aggregation) dtype must also converge — the
+        round-2 bench caught the benched config diverging while only the
+        f32 tiny config was tested. bench.py's collab gate now hard-fails
+        on divergence; this is the CI-side guard at toy size."""
+        from linkpred_tpu.pipelines.gcn_scale import (
+            ScaleGCNConfig,
+            train_collab,
+        )
+
+        out = train_collab(
+            ScaleGCNConfig(nodes=800, edges=3200, steps=25, batch_edges=256,
+                           emb_dim=16, hidden=32, max_degree=16,
+                           dtype="bf16"),
+            verbose=False,
+        )
+        assert out["loss_decreased"], out
+        assert out["test_auc"] > 0.55, out
+
 
 class TestPipelinedOverlapSpMM:
     def test_matches_unpipelined(self, mesh, rng):
