@@ -74,6 +74,40 @@ def auto_hop(
     return 1 if _auc(cn) > _auc(aa) else 2
 
 
+def auto_hop_csr(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    test_pos: np.ndarray,
+    test_neg: np.ndarray,
+) -> int:
+    """CSR variant of `auto_hop` for graphs too large for a dense adjacency:
+    CN and AA scores are evaluated only at the test pairs via sorted-row
+    intersections (identical scores to the dense matmuls at those entries,
+    reference `SEAL/config/subgraph.py:45-63`)."""
+    deg = np.diff(indptr).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        inv_log = 1.0 / np.log(deg)
+    inv_log[~np.isfinite(inv_log)] = 0.0
+
+    def _scores(pairs):
+        cn = np.empty(len(pairs), dtype=np.float64)
+        aa = np.empty(len(pairs), dtype=np.float64)
+        for i, (u, v) in enumerate(pairs):
+            nu = indices[indptr[u] : indptr[u + 1]]
+            nv = indices[indptr[v] : indptr[v + 1]]
+            common = np.intersect1d(nu, nv, assume_unique=False)
+            cn[i] = len(common)
+            aa[i] = inv_log[common].sum()
+        return cn, aa
+
+    cn_p, aa_p = _scores(np.asarray(test_pos))
+    cn_n, aa_n = _scores(np.asarray(test_neg))
+    y = np.concatenate([np.ones(len(test_pos)), np.zeros(len(test_neg))])
+    auc_cn = metrics.roc_auc_score(y, np.concatenate([cn_p, cn_n]))
+    auc_aa = metrics.roc_auc_score(y, np.concatenate([aa_p, aa_n]))
+    return 1 if auc_cn > auc_aa else 2
+
+
 # ---------------------------------------------------------------------------
 # batched extraction
 # ---------------------------------------------------------------------------
@@ -170,6 +204,76 @@ def extract_subgraphs(
     return nodes, node_mask, sub_adj, sizes
 
 
+def extract_subgraphs_csr(
+    pairs: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_nodes: int,
+    hop: int,
+    max_neighbors: int = 100,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """CSR-based enclosing-subgraph extraction — the scale path.
+
+    Same semantics as `extract_subgraphs` (per-hop neighbor union of the
+    selected set, uniform random truncation at the `max_neighbors` budget,
+    node order [u, v, rest], target link masked) but over `indptr`/`indices`
+    instead of a dense [N, N] adjacency: memory is O(P·K²), independent of
+    N, so 235k-node graphs work where the dense path would need ~55 GB.
+    Routed through the threaded C++ plane (`native.extract_subgraphs_csr`)
+    when available; the numpy per-pair fallback is distribution-equivalent.
+    Reference semantics: `SEAL/config/subgraph.py:105-137`.
+    """
+    from linkpred_tpu import native
+
+    pairs = np.ascontiguousarray(pairs, dtype=np.int32)
+    if native.available():
+        return native.extract_subgraphs_csr(
+            indptr, indices, num_nodes, pairs, int(hop), max_neighbors, seed
+        )
+
+    rng = np.random.default_rng(seed)
+    P, K = pairs.shape[0], max_neighbors
+    nodes = np.zeros((P, K), dtype=np.int32)
+    node_mask = np.zeros((P, K), dtype=bool)
+    adj = np.zeros((P, K, K), dtype=np.uint8)
+    sizes = np.zeros(P, dtype=np.int32)
+    for p in range(P):
+        u, v = int(pairs[p, 0]), int(pairs[p, 1])
+        sel = [u] if u == v else [u, v]
+        for _ in range(int(hop)):
+            budget = K - len(sel)
+            if budget <= 0:
+                break
+            sel_arr = np.asarray(sel, dtype=np.int64)
+            cand = np.unique(
+                np.concatenate(
+                    [indices[indptr[w] : indptr[w + 1]] for w in sel]
+                )
+            )
+            cand = cand[~np.isin(cand, sel_arr)]
+            if len(cand) == 0:
+                break
+            if len(cand) > budget:
+                cand = rng.choice(cand, size=budget, replace=False)
+            sel.extend(int(c) for c in cand)
+        sz = len(sel)
+        sizes[p] = sz
+        sel_arr = np.asarray(sel, dtype=np.int32)
+        nodes[p, :sz] = sel_arr
+        node_mask[p, :sz] = True
+        local = {int(w): i for i, w in enumerate(sel_arr)}
+        for i, w in enumerate(sel_arr):
+            for x in indices[indptr[w] : indptr[w + 1]]:
+                j = local.get(int(x))
+                if j is not None:
+                    adj[p, i, j] = 1
+        if sz >= 2:
+            adj[p, 0, 1] = 0
+            adj[p, 1, 0] = 0
+    return nodes, node_mask, adj, sizes
+
+
 # ---------------------------------------------------------------------------
 # batched DRNL labeling
 # ---------------------------------------------------------------------------
@@ -255,6 +359,43 @@ def build_subgraph_batch(
         sizes=sizes,
         tags=tags,
         tags_size=tags_size,
+    )
+
+
+def build_subgraph_batch_csr(
+    pairs: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_nodes: int,
+    hop: int,
+    max_neighbors: int = 100,
+    seed: int = 0,
+    drnl_chunk: int = 4096,
+) -> SubgraphBatch:
+    """Scale-path analog of `build_subgraph_batch`: CSR extraction + the
+    same batched DRNL (run in chunks of `drnl_chunk` pairs so the [P, K, K]
+    BFS tensors stay well under HBM at large P)."""
+    nodes, node_mask, adj, sizes = extract_subgraphs_csr(
+        pairs, indptr, indices, num_nodes, hop, max_neighbors, seed
+    )
+    P = len(nodes)
+    tag_chunks = []
+    for s in range(0, P, drnl_chunk):
+        e = min(s + drnl_chunk, P)
+        tag_chunks.append(
+            np.asarray(
+                drnl_tags(
+                    jnp.asarray(adj[s:e]),
+                    jnp.asarray(node_mask[s:e]),
+                    max_steps=max_neighbors,
+                )
+            )
+        )
+    tags = np.concatenate(tag_chunks, axis=0)
+    tags, tags_size = compact_tags(tags, node_mask)
+    return SubgraphBatch(
+        nodes=nodes, node_mask=node_mask, adj=adj, sizes=sizes,
+        tags=tags, tags_size=tags_size,
     )
 
 

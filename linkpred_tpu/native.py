@@ -57,6 +57,7 @@ def load_library():
         lib.build_alias_rows.restype = None
         lib.edge_bias_probs.restype = None
         lib.sample_negatives.restype = ctypes.c_int64
+        lib.extract_subgraphs_csr.restype = None
         _lib = lib
         return _lib
 
@@ -160,6 +161,34 @@ def edge_bias_probs(src, dst, nbr, mask, indptr, indices, p: float, q: float):
         _ptr(out, ctypes.c_double),
     )
     return out
+
+
+def extract_subgraphs_csr(indptr, indices, num_nodes: int, pairs,
+                          hop: int, max_neighbors: int, seed: int = 0):
+    """Threaded C++ k-hop enclosing-subgraph extraction over CSR (the SEAL
+    data path at scales where a dense [N, N] adjacency cannot exist).
+    Returns (nodes [P, K] int32, mask [P, K] bool, adj [P, K, K] uint8,
+    sizes [P] int32). Raises if the native library is unavailable — callers
+    go through `data.subgraph.extract_subgraphs_csr`, which has the numpy
+    fallback."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable; use python path")
+    pairs = _i32(pairs)
+    P, K = pairs.shape[0], max_neighbors
+    nodes = np.zeros((P, K), dtype=np.int32)
+    mask = np.zeros((P, K), dtype=np.uint8)
+    adj = np.zeros((P, K, K), dtype=np.uint8)
+    sizes = np.zeros(P, dtype=np.int32)
+    lib.extract_subgraphs_csr(
+        _ptr(_i32(indptr), ctypes.c_int32), _ptr(_i32(indices), ctypes.c_int32),
+        ctypes.c_int32(num_nodes), _ptr(pairs, ctypes.c_int32),
+        ctypes.c_int64(P), ctypes.c_int32(hop), ctypes.c_int32(K),
+        ctypes.c_uint64(seed),
+        _ptr(nodes, ctypes.c_int32), _ptr(mask, ctypes.c_uint8),
+        _ptr(adj, ctypes.c_uint8), _ptr(sizes, ctypes.c_int32),
+    )
+    return nodes, mask.astype(bool), adj, sizes
 
 
 def sample_negatives(exclude_pairs, num_nodes: int, num_samples: int, seed: int = 0):

@@ -184,4 +184,109 @@ int64_t sample_negatives(const int64_t* exclude_sorted, int64_t n_exclude,
   return got;
 }
 
+// ---------------------------------------------------------------------------
+// Batched k-hop enclosing-subgraph extraction over CSR (the SEAL data path
+// at graph scales where a dense [N, N] adjacency is impossible — 235k nodes
+// would need ~55 GB; reference semantics: SEAL/config/subgraph.py:105-137).
+// For every pair (u, v): start selected = {u, v}; each hop, collect the
+// not-yet-selected neighbors of ALL selected nodes (matching the dense
+// frontier product), and if they exceed the remaining budget K - |selected|
+// keep a uniform random subset (partial Fisher-Yates — the reference's
+// shuffle-then-slice truncation). Node order is [u, v, rest in discovery
+// order]; the induced adjacency is emitted with the (u, v) target entry
+// masked. Multi-threaded over pairs; per-pair rng is seeded from
+// (seed, pair index) so results are independent of thread partitioning.
+// Outputs (caller-allocated): nodes [P*K] int32, mask [P*K] uint8,
+// adj [P*K*K] uint8, sizes [P] int32.
+// ---------------------------------------------------------------------------
+void extract_subgraphs_csr(const int32_t* indptr, const int32_t* indices,
+                           int32_t n, const int32_t* pairs, int64_t P,
+                           int32_t hop, int32_t K, uint64_t seed,
+                           int32_t* nodes, uint8_t* mask, uint8_t* adj,
+                           int32_t* sizes) {
+  int nthreads = (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16);
+  if (nthreads < 1) nthreads = 1;
+  auto work = [&](int64_t lo_p, int64_t hi_p) {
+    // epoch-stamped maps: no O(n) clear per pair
+    std::vector<int64_t> sel_stamp(n, -1), cand_stamp(n, -1);
+    std::vector<int32_t> local(n, 0);
+    std::vector<int32_t> sel, cand;
+    sel.reserve(K);
+    for (int64_t p = lo_p; p < hi_p; ++p) {
+      // splitmix64 over (seed, p) for a partition-independent stream
+      uint64_t z = seed + 0x9e3779b97f4a7c15ULL * (uint64_t)(p + 1);
+      z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+      z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+      std::mt19937_64 rng(z ^ (z >> 31));
+
+      int32_t u = pairs[p * 2], v = pairs[p * 2 + 1];
+      sel.clear();
+      sel.push_back(u);
+      sel_stamp[u] = p;
+      if (v != u) {
+        sel.push_back(v);
+        sel_stamp[v] = p;
+      }
+      for (int32_t h = 0; h < hop; ++h) {
+        int32_t budget = K - (int32_t)sel.size();
+        if (budget <= 0) break;
+        cand.clear();
+        size_t n_sel = sel.size();  // freeze: neighbors of current selected
+        for (size_t i = 0; i < n_sel; ++i) {
+          int32_t w = sel[i];
+          for (int32_t k = indptr[w]; k < indptr[w + 1]; ++k) {
+            int32_t x = indices[k];
+            if (sel_stamp[x] == p || cand_stamp[x] == p) continue;
+            cand_stamp[x] = p;
+            cand.push_back(x);
+          }
+        }
+        int32_t take = std::min<int32_t>((int32_t)cand.size(), budget);
+        // partial Fisher-Yates: first `take` entries are a uniform subset
+        for (int32_t i = 0; i < take; ++i) {
+          std::uniform_int_distribution<int32_t> uni(i, (int32_t)cand.size() - 1);
+          std::swap(cand[i], cand[uni(rng)]);
+          sel.push_back(cand[i]);
+          sel_stamp[cand[i]] = p;
+        }
+        if (cand.empty()) break;  // frontier exhausted
+      }
+      int32_t sz = (int32_t)sel.size();
+      sizes[p] = sz;
+      int32_t* nrow = nodes + p * K;
+      uint8_t* mrow = mask + p * K;
+      for (int32_t i = 0; i < sz; ++i) {
+        nrow[i] = sel[i];
+        mrow[i] = 1;
+        local[sel[i]] = i;
+      }
+      for (int32_t i = sz; i < K; ++i) {
+        nrow[i] = 0;
+        mrow[i] = 0;
+      }
+      uint8_t* arow = adj + p * (int64_t)K * K;
+      std::memset(arow, 0, (size_t)K * K);
+      for (int32_t i = 0; i < sz; ++i) {
+        int32_t w = sel[i];
+        for (int32_t k = indptr[w]; k < indptr[w + 1]; ++k) {
+          int32_t x = indices[k];
+          if (sel_stamp[x] == p) arow[(int64_t)i * K + local[x]] = 1;
+        }
+      }
+      if (sz >= 2) {  // mask the target link (subgraph.py:137)
+        arow[0 * (int64_t)K + 1] = 0;
+        arow[1 * (int64_t)K + 0] = 0;
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  int64_t chunk = (P + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(P, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+}
+
 }  // extern "C"
