@@ -302,6 +302,12 @@ def drnl_tags(
     reach0 = reach0.at[0, :, 0].set(True).at[1, :, 1].set(True)
     dist0 = jnp.where(reach0, 0, _INF).astype(jnp.int32)
 
+    # Fixed-trip scan, NOT lax.while_loop: a while here hangs/crawls on the
+    # axon TPU runtime (measured: a P=2048 while-BFS took ~256 s where this
+    # scan is sub-second, and a fresh while compile wedged entirely), and a
+    # BFS that has converged just keeps dist unchanged, so extra scan steps
+    # are cheap no-op matmuls. Host-plane callers at scale use the C++ BFS
+    # (`native.drnl_tags_batch`) instead and never enter this program.
     def step(carry, d):
         reach, dist = carry
         # neighbors of the reached set: [2, P, K] x [P, K, K]
@@ -372,26 +378,33 @@ def build_subgraph_batch_csr(
     seed: int = 0,
     drnl_chunk: int = 4096,
 ) -> SubgraphBatch:
-    """Scale-path analog of `build_subgraph_batch`: CSR extraction + the
-    same batched DRNL (run in chunks of `drnl_chunk` pairs so the [P, K, K]
-    BFS tensors stay well under HBM at large P)."""
+    """Scale-path analog of `build_subgraph_batch`: CSR extraction + DRNL
+    in the threaded C++ host plane (`native.drnl_tags_batch` — a 100-node
+    BFS is host-sized integer work; shipping [P, K, K] stacks to the chip
+    for it costs more in transfer than the labeling itself). Falls back to
+    the jit BFS in `drnl_chunk`-pair chunks when the library is absent."""
+    from linkpred_tpu import native
+
     nodes, node_mask, adj, sizes = extract_subgraphs_csr(
         pairs, indptr, indices, num_nodes, hop, max_neighbors, seed
     )
-    P = len(nodes)
-    tag_chunks = []
-    for s in range(0, P, drnl_chunk):
-        e = min(s + drnl_chunk, P)
-        tag_chunks.append(
-            np.asarray(
-                drnl_tags(
-                    jnp.asarray(adj[s:e]),
-                    jnp.asarray(node_mask[s:e]),
-                    max_steps=max_neighbors,
+    if native.available():
+        tags = native.drnl_tags_batch(adj, node_mask, sizes)
+    else:
+        P = len(nodes)
+        tag_chunks = []
+        for s in range(0, P, drnl_chunk):
+            e = min(s + drnl_chunk, P)
+            tag_chunks.append(
+                np.asarray(
+                    drnl_tags(
+                        jnp.asarray(adj[s:e]),
+                        jnp.asarray(node_mask[s:e]),
+                        max_steps=max_neighbors,
+                    )
                 )
             )
-        )
-    tags = np.concatenate(tag_chunks, axis=0)
+        tags = np.concatenate(tag_chunks, axis=0)
     tags, tags_size = compact_tags(tags, node_mask)
     return SubgraphBatch(
         nodes=nodes, node_mask=node_mask, adj=adj, sizes=sizes,

@@ -58,6 +58,7 @@ def load_library():
         lib.edge_bias_probs.restype = None
         lib.sample_negatives.restype = ctypes.c_int64
         lib.extract_subgraphs_csr.restype = None
+        lib.drnl_tags_batch.restype = None
         _lib = lib
         return _lib
 
@@ -189,6 +190,28 @@ def extract_subgraphs_csr(indptr, indices, num_nodes: int, pairs,
         _ptr(adj, ctypes.c_uint8), _ptr(sizes, ctypes.c_int32),
     )
     return nodes, mask.astype(bool), adj, sizes
+
+
+def drnl_tags_batch(adj, mask, sizes):
+    """Threaded C++ DRNL labeling over a padded subgraph stack
+    (adj [P, K, K] uint8, mask [P, K] bool, sizes [P]) -> tags [P, K] int32.
+    Exact same tags as the jit BFS (`data.subgraph.drnl_tags`); the host
+    plane for SEAL-at-scale where shipping [P, K, K] stacks to the device
+    just to BFS 100-node graphs wastes the chip."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable; use jit path")
+    adj = np.ascontiguousarray(adj, dtype=np.uint8)
+    mask_u8 = np.ascontiguousarray(mask, dtype=np.uint8)
+    sizes = _i32(sizes)
+    P, K = mask_u8.shape
+    tags = np.zeros((P, K), dtype=np.int32)
+    lib.drnl_tags_batch(
+        _ptr(adj, ctypes.c_uint8), _ptr(mask_u8, ctypes.c_uint8),
+        _ptr(sizes, ctypes.c_int32), ctypes.c_int64(P), ctypes.c_int32(K),
+        _ptr(tags, ctypes.c_int32),
+    )
+    return tags
 
 
 def sample_negatives(exclude_pairs, num_nodes: int, num_samples: int, seed: int = 0):

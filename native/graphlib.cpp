@@ -289,4 +289,68 @@ void extract_subgraphs_csr(const int32_t* indptr, const int32_t* indices,
   for (auto& t : ts) t.join();
 }
 
+// ---------------------------------------------------------------------------
+// Batched DRNL (Double-Radius Node Labeling) over padded subgraph stacks —
+// the host data plane for SEAL at scale. Per subgraph: BFS from node 0 (=u)
+// and node 1 (=v) on the dense [K, K] adjacency (target link already
+// masked), then the closed-form tag of reference SEAL/utils/utils.py:50-52:
+//   tag = 1 + min(dx, dy) + (d/2)*((d/2) + d%2 - 1),  d = dx + dy
+// unreachable-from-either -> 0, endpoints -> 1, padded nodes -> 0.
+// A 100-node BFS is microseconds of integer work; putting it on the TPU
+// would spend device matmuls (and tunnel latency) on a host-sized job.
+// Multi-threaded over subgraphs. adj [P*K*K] uint8, mask [P*K] uint8,
+// sizes [P] int32 -> tags [P*K] int32.
+// ---------------------------------------------------------------------------
+void drnl_tags_batch(const uint8_t* adj, const uint8_t* mask,
+                     const int32_t* sizes, int64_t P, int32_t K,
+                     int32_t* tags) {
+  int nthreads = (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16);
+  if (nthreads < 1) nthreads = 1;
+  const int32_t INF = INT32_MAX / 4;
+  auto work = [&](int64_t lo_p, int64_t hi_p) {
+    std::vector<int32_t> dx(K), dy(K), queue(K);
+    for (int64_t p = lo_p; p < hi_p; ++p) {
+      const uint8_t* a = adj + p * (int64_t)K * K;
+      const uint8_t* m = mask + p * K;
+      int32_t sz = sizes[p];
+      int32_t* out = tags + p * K;
+      auto bfs = [&](int32_t src, std::vector<int32_t>& dist) {
+        std::fill(dist.begin(), dist.end(), INF);
+        if (src >= sz) return;
+        dist[src] = 0;
+        int32_t head = 0, tail = 0;
+        queue[tail++] = src;
+        while (head < tail) {
+          int32_t w = queue[head++];
+          const uint8_t* row = a + (int64_t)w * K;
+          for (int32_t x = 0; x < sz; ++x) {
+            if (row[x] && dist[x] == INF) {
+              dist[x] = dist[w] + 1;
+              queue[tail++] = x;
+            }
+          }
+        }
+      };
+      bfs(0, dx);
+      bfs(1, dy);
+      for (int32_t i = 0; i < K; ++i) {
+        if (!m[i] || i >= sz) { out[i] = 0; continue; }
+        if (i < 2) { out[i] = 1; continue; }
+        if (dx[i] >= INF || dy[i] >= INF) { out[i] = 0; continue; }
+        int32_t d = dx[i] + dy[i];
+        int32_t div = d / 2, mod = d % 2;
+        out[i] = 1 + std::min(dx[i], dy[i]) + div * (div + mod - 1);
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  int64_t chunk = (P + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(P, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+}
+
 }  // extern "C"

@@ -103,3 +103,23 @@ class TestPipelines:
         assert 0.0 <= res["test_auc"] <= 1.0
         assert res["best_params"] is not None
         assert os.path.exists("logs.json")
+
+
+class TestSEALScale:
+    def test_end_to_end_tiny(self):
+        """Collab-scale SEAL pipeline (CSR extraction + native DRNL +
+        batched DGCNN) at toy size: loss must decrease and held-out AUC
+        must beat chance."""
+        from linkpred_tpu.pipelines.seal_scale import (
+            ScaleSEALConfig,
+            run_seal_scale,
+        )
+
+        out = run_seal_scale(
+            ScaleSEALConfig(nodes=600, edges=2400, target_pairs=256,
+                            epochs=6, batch_size=32, max_neighbors=40),
+            verbose=False,
+        )
+        assert out["loss_decreased"], out
+        assert out["test_auc"] > 0.6, out
+        assert out["subgraphs_per_s"] > 0

@@ -178,3 +178,119 @@ class TestGnnInputs:
             n = int(sizes[i])
             assert np.all(x[i, n:] == 0)
             np.testing.assert_allclose(d_inv[i, n:], 1.0)
+
+
+class TestCSRExtraction:
+    """CSR (scale-path) extraction vs the dense path — exact set equality
+    when the max_neighbors cap is never hit (selection is deterministic),
+    structural properties when it is."""
+
+    def _graph(self, seed=0, n=150, e=500):
+        from linkpred_tpu.data.graph import Graph
+
+        rng = np.random.default_rng(seed)
+        pairs = rng.integers(0, n, (e, 2))
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        g = Graph.from_undirected_edges(pairs[:, 0], pairs[:, 1], num_nodes=n)
+        adj = np.zeros((n, n), dtype=bool)
+        adj[np.asarray(g.src), np.asarray(g.dst)] = True
+        return g, adj, rng
+
+    @pytest.mark.parametrize("hop", [1, 2])
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_matches_dense_without_cap(self, hop, use_native, monkeypatch):
+        from linkpred_tpu import native
+
+        if use_native and not native.available():
+            pytest.skip("native library unavailable")
+        if not use_native:
+            monkeypatch.setattr(native, "available", lambda: False)
+        g, adj, rng = self._graph()
+        n = adj.shape[0]
+        pairs = rng.integers(0, n, (40, 2))
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        nd, md, ad, sd = sg.extract_subgraphs(
+            pairs, adj, hop, n, np.random.default_rng(1)
+        )
+        nc, mc, ac, s = sg.extract_subgraphs_csr(
+            pairs, np.asarray(g.indptr), np.asarray(g.indices), n, hop, n,
+            seed=1,
+        )
+        assert (sd == s).all()
+        for p in range(len(pairs)):
+            assert set(nd[p][md[p]].tolist()) == set(nc[p][mc[p]].tolist())
+            assert ad[p].sum() == ac[p].sum()  # same induced edge count
+            assert ac[p, 0, 1] == 0 and ac[p, 1, 0] == 0  # target masked
+
+    def test_truncation_properties(self):
+        g, adj, rng = self._graph(seed=3, n=300, e=2500)
+        n = adj.shape[0]
+        K = 12
+        pairs = rng.integers(0, n, (60, 2))
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        nodes, mask, a, sizes = sg.extract_subgraphs_csr(
+            pairs, np.asarray(g.indptr), np.asarray(g.indices), n, 2, K,
+            seed=9,
+        )
+        assert (sizes <= K).all() and (sizes >= 2).all()
+        assert (nodes[:, 0] == pairs[:, 0]).all()
+        assert (nodes[:, 1] == pairs[:, 1]).all()
+        assert (mask.sum(axis=1) == sizes).all()
+        # every selected node is adjacent in the induced subgraph only to
+        # other selected nodes (adjacency consistent with the global graph)
+        for p in range(5):
+            sel = nodes[p][mask[p]]
+            dense_sub = adj[np.ix_(sel, sel)].copy()
+            dense_sub[0, 1] = dense_sub[1, 0] = False
+            assert (a[p][: len(sel), : len(sel)] == dense_sub).all()
+
+    def test_auto_hop_csr_matches_dense(self):
+        g, adj, rng = self._graph(seed=5)
+        n = adj.shape[0]
+        tp = rng.integers(0, n, (30, 2))
+        tp = tp[tp[:, 0] != tp[:, 1]]
+        tn = rng.integers(0, n, (30, 2))
+        tn = tn[tn[:, 0] != tn[:, 1]]
+        dense = sg.auto_hop(adj, tp, tn)
+        csr = sg.auto_hop_csr(np.asarray(g.indptr), np.asarray(g.indices), tp, tn)
+        assert dense == csr
+
+    def test_batch_csr_tags_match_dense_batch(self):
+        """Full batch build: identical selections (no cap) must produce the
+        identical compacted DRNL tag multiset per subgraph."""
+        g, adj, rng = self._graph(seed=7)
+        n = adj.shape[0]
+        pairs = rng.integers(0, n, (20, 2))
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        bd = sg.build_subgraph_batch(pairs, adj, 1, n, np.random.default_rng(1))
+        bc = sg.build_subgraph_batch_csr(
+            pairs, np.asarray(g.indptr), np.asarray(g.indices), n, 1, n,
+            seed=1, drnl_chunk=8,
+        )
+        assert bd.tags_size == bc.tags_size
+        for p in range(len(pairs)):
+            td = np.sort(bd.tags[p][bd.node_mask[p]])
+            tc = np.sort(bc.tags[p][bc.node_mask[p]])
+            assert (td == tc).all()
+
+
+class TestNativeDRNL:
+    def test_matches_jit_bfs(self):
+        from linkpred_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(11)
+        P, K = 64, 40
+        sizes = rng.integers(2, K + 1, P).astype(np.int32)
+        mask = np.arange(K)[None, :] < sizes[:, None]
+        adj = rng.random((P, K, K)) < 0.08
+        adj = adj | adj.transpose(0, 2, 1)
+        adj &= mask[:, :, None] & mask[:, None, :]
+        adj = adj.astype(np.uint8)
+        adj[:, 0, 1] = adj[:, 1, 0] = 0
+        t_native = native.drnl_tags_batch(adj, mask, sizes)
+        t_jit = np.asarray(
+            sg.drnl_tags(jnp.asarray(adj), jnp.asarray(mask), max_steps=K)
+        )
+        assert (t_native == t_jit).all()
