@@ -297,6 +297,28 @@ def gate_collab_e2e():
     return res
 
 
+def gate_collab_seal():
+    """End-to-end SEAL at collab scale (BASELINE configs 4/5 for family B):
+    CSR extraction + host-plane DRNL + batched DGCNN training on sampled
+    target pairs of a 235k-node graph. Hard-fails on divergence like the
+    GCN gate."""
+    from linkpred_tpu.pipelines.seal_scale import (
+        ScaleSEALConfig,
+        run_seal_scale,
+    )
+
+    out = run_seal_scale(ScaleSEALConfig(target_pairs=2048, epochs=8),
+                         verbose=False)
+    res = {k: out[k] for k in (
+        "nodes", "directed_edges", "hop", "target_pairs", "subgraphs_per_s",
+        "extract_seconds", "mean_subgraph_size", "loss_first_quarter",
+        "loss_last_quarter", "loss_decreased", "test_auc", "train_seconds",
+        "compile_seconds")}
+    if not res["loss_decreased"]:
+        raise RuntimeError(f"collab SEAL training DIVERGED: {json.dumps(res)}")
+    return res
+
+
 def main():
     import os
 
@@ -358,6 +380,7 @@ def main():
         _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
               deadline)
         _gate(gates, "collab_e2e_training", gate_collab_e2e, deadline)
+        _gate(gates, "collab_seal", gate_collab_seal, deadline)
 
     print(json.dumps({
         "metric": "twowl_sweep32_wall_seconds",

@@ -72,6 +72,7 @@ def _cmd_twowl(args):
         data_dir=cfg.paths.data_dir,
         verbose=not args.quiet,
         refine_trials=getattr(args, "refine", 0),
+        refine_mode=getattr(args, "refine_mode", "flat"),
     )
     print(f"AUC:{res['test_auc']:.4f}   (best of {cfg.twowl_trials} trials)")
 
@@ -247,6 +248,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--refine", type=int, default=0, metavar="N",
         help="after the sweep, trial-major refine the winner's architecture "
              "with N simultaneous (lr x dropout) trials in one program",
+    )
+    pt.add_argument(
+        "--refine-mode", choices=("flat", "halving"), default="flat",
+        help="flat: all N trials train the full schedule; halving: "
+             "successive halving — N trials start, the top 1/2 by val AUC "
+             "survive each 250-epoch rung warm (params + Adam moments), "
+             "inspecting ~2x more configs per epoch budget",
     )
 
     pc = sub.add_parser("compare", help="compare best records per family")

@@ -567,6 +567,19 @@ def extract_trial(params, i: int):
     )
 
 
+def take_trials(params, idx):
+    """Trial-major pytree restricted to the trial subset `idx` (int array).
+
+    Used by successive halving: survivors keep their learned weights (and,
+    via `take_trials` on the Adam mu/nu pytrees, their optimizer moments)
+    when the losing trials are dropped from the program."""
+    axes = _trial_axes(params)
+    idx = jnp.asarray(idx)
+    return jax.tree_util.tree_map(
+        lambda leaf, ax: jnp.take(leaf, idx, axis=ax), params, axes
+    )
+
+
 def _gcn_conv_trials(p, x, src, coeff, self_coeff, num_rows, plan):
     """x [R, T, C_in] -> [R', T, C_out]; p leaves carry trial axis 0."""
     h = jnp.einsum("rtc,tcd->rtd", x, p["w"])

@@ -189,6 +189,108 @@ def sddmm_auto(src, dst, x, y=None, block_edges: int = 256):
     )
 
 
+def _rowdma_kernel(nbr_ref, w_ref, x_hbm, out_ref, *, rows, width, feats):
+    """One row-tile of the explicit-DMA bucketed SpMM: for each (row, slot)
+    issue a single-row HBM->VMEM copy of x[nbr[row, slot]], double-buffered
+    two deep, and accumulate w * row into the output row.
+
+    This is the "double-buffered DMA of neighbor-row tiles" design from the
+    round-2 review. Its structural cost: one DMA descriptor per 256-512 B
+    neighbor row — the same traffic XLA's native gather instruction issues
+    from purpose-built hardware without per-descriptor overhead. Measured
+    (benchmarks/spmm_variants.py --pallas) it loses to the XLA gather
+    variants by a wide margin; kept as the recorded negative result.
+    """
+    def body(scratch, sems):
+        total = rows * width
+
+        def get_dma(slot, t):
+            r = t // width
+            d = t - r * width
+            return pltpu.make_async_copy(
+                x_hbm.at[nbr_ref[r, d]],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        get_dma(0, 0).start()
+
+        def loop(t, acc):
+            slot = t % 2
+
+            @pl.when(t + 1 < total)
+            def _():
+                get_dma((t + 1) % 2, t + 1).start()
+
+            get_dma(slot, t).wait()
+            r = t // width
+            d = t - r * width
+            acc = acc + w_ref[r, d] * scratch[pl.ds(slot, 1), :]
+            row_end = d == width - 1
+
+            @pl.when(row_end)
+            def _():
+                out_ref[pl.ds(r, 1), :] = acc
+
+            return jnp.where(row_end, jnp.zeros_like(acc), acc)
+
+        jax.lax.fori_loop(
+            0, total, loop, jnp.zeros((1, feats), jnp.float32)
+        )
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, feats), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_tile", "interpret"))
+def spmm_rowdma_pallas(
+    nbr: jnp.ndarray,  # [n_b, w] int32
+    weight: jnp.ndarray,  # [n_b, w] float32 (0 where invalid)
+    x: jnp.ndarray,  # [N, F] float32
+    rows_per_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Explicit per-row-DMA gather+reduce for one ELL bucket: [n_b, F]."""
+    n_b, w = nbr.shape
+    f = x.shape[1]
+    n_pad = _round_up(max(n_b, 1), rows_per_tile)
+    nbr_p = jnp.pad(nbr, ((0, n_pad - n_b), (0, 0)))
+    w_p = jnp.pad(weight.astype(jnp.float32), ((0, n_pad - n_b), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _rowdma_kernel, rows=rows_per_tile, width=w, feats=f
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        grid=(n_pad // rows_per_tile,),
+        in_specs=[
+            pl.BlockSpec((rows_per_tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows_per_tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((rows_per_tile, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(nbr_p, w_p, x.astype(jnp.float32))
+    return out[:n_b]
+
+
+def spmm_rowdma_bucketed(x, num_nodes: int, *operands) -> jnp.ndarray:
+    """`spmm_bucketed`-compatible wrapper over the per-row-DMA kernel."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = jnp.zeros((num_nodes, x.shape[1]), jnp.float32)
+    for i in range(0, len(operands), 3):
+        ids, nb, w = operands[i], operands[i + 1], operands[i + 2]
+        agg = spmm_rowdma_pallas(nb, w, x, interpret=not on_tpu)
+        out = out.at[ids].set(agg, unique_indices=True,
+                              indices_are_sorted=True)
+    return out.astype(x.dtype)
+
+
 def spmm_ell_auto(nbr, nbr_mask, x, nbr_weight=None, block_rows: int = 256):
     """Dispatch to the Pallas kernel on TPU, interpret mode elsewhere."""
     w = nbr_mask.astype(jnp.float32)

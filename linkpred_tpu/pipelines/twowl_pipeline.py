@@ -327,6 +327,117 @@ def refine_vmapped(
     )
 
 
+def refine_halving(
+    data: TwoWLData,
+    cfg: m.TwoWLConfig,
+    run: TwoWLRunConfig,
+    n_trials: int = 64,
+    eta: int = 2,
+    min_trials: int = 8,
+    key=None,
+    rng: np.random.Generator | None = None,
+    verbose: bool = False,
+) -> dict:
+    """Successive-halving refinement — the adaptive-search round that
+    supersedes the reference's Optuna TPE capability (`TwoWL_work.py:112-132`)
+    rather than approximating it: instead of modeling the response surface
+    sequentially, spend the SAME epoch budget evaluating `eta`x more
+    configurations and promote survivors.
+
+    Mechanics: start `n_trials` (lr x dropout) configs in ONE trial-major
+    program; each rung trains `run.chunk_epochs` epochs, then the top
+    1/eta by best-val AUC survive WARM — parameters, running best, and the
+    Adam moments are sliced along the trial axis (`models.twowl.take_trials`)
+    so no learning is thrown away. Once `min_trials` remain they train out
+    the rest of `run.epochs`. Total trial-epochs with the default schedule
+    (64->8 at eta=2, 250-epoch rungs, 1000 total) equal a 30-trial flat
+    random search while having inspected 64 configurations.
+    Measured AUC-vs-budget comparison: `benchmarks/halving.py`.
+    """
+    key = key if key is not None else jax.random.PRNGKey(run.seed)
+    rng = rng or np.random.default_rng(run.seed + 17)
+
+    lrs = np.asarray(
+        rng.choice(SEARCH_SPACE["lr"], size=n_trials)
+    ).astype(np.float32)
+    rates_np = {
+        f: np.asarray(rng.choice(SEARCH_SPACE[f], n_trials), np.float32)
+        for f in m.TrialRates._fields
+    }
+
+    optimizer = optax.adam(1.0)  # per-trial lr applied as update scale
+    key, k_init = jax.random.split(key)
+    params = m.init_params_trials(k_init, cfg, n_trials)
+    opt_state = optimizer.init(params)
+
+    trn = _split_arrays(data.train)
+    val = _split_arrays(data.val)
+    n_pos_pairs = data.train.num_msg // 2
+    n_neg_pairs = len(data.train.pred) // 2
+    P = min(len(data.val.y), n_pos_pairs, n_neg_pairs)
+    E = run.epochs
+    pos_ids = jnp.asarray(np.stack(
+        [rng.permutation(n_pos_pairs)[:P] for _ in range(E)]
+    ).astype(np.int32))
+    neg_ids = jnp.asarray(np.stack(
+        [rng.permutation(n_neg_pairs)[:P] for _ in range(E)]
+    ).astype(np.int32))
+
+    val_y = jnp.asarray(data.val.y)
+    node_deg = jnp.asarray(data.node_deg)
+    chunk = min(E, run.chunk_epochs)
+    best = (params, jnp.full((n_trials,), -1.0, jnp.float32))
+    alive = np.arange(n_trials)
+    start = 0
+    while start < E:
+        stop = min(start + chunk, E)
+        key, k_scan = jax.random.split(key)
+        params, opt_state, best_p, best_a, _ = m.train_scan_trials(
+            params, opt_state, k_scan,
+            pos_ids[start:stop], neg_ids[start:stop], trn, val,
+            val_y, node_deg, cfg, optimizer,
+            jnp.asarray(lrs[alive]), data.num_nodes,
+            stop - start,
+            m.TrialRates(**{
+                f: jnp.asarray(rates_np[f][alive]) for f in m.TrialRates._fields
+            }),
+            init_best=best,
+        )
+        best = (best_p, best_a)
+        aucs = np.asarray(best_a)
+        if verbose:
+            print(f"  rung epochs {start:4d}-{stop:<4d} {len(alive)} trials "
+                  f"best val {aucs.max():.4f} median {np.median(aucs):.4f}",
+                  flush=True)
+        start = stop
+        survivors = max(min_trials, len(alive) // eta)
+        if start < E and survivors < len(alive):
+            keep = np.argsort(-aucs)[:survivors].astype(np.int32)
+            keep.sort()  # stable trial identity for reproducibility
+            alive = alive[keep]
+            kj = jnp.asarray(keep)
+            params = m.take_trials(params, kj)
+            # Adam moments are params-shaped pytrees; slice them the same
+            # way so survivors keep their optimizer state (count is shared)
+            s0, *rest = opt_state
+            opt_state = (s0._replace(mu=m.take_trials(s0.mu, kj),
+                                     nu=m.take_trials(s0.nu, kj)),
+                         *rest)
+            best = (m.take_trials(best[0], kj), best[1][kj])
+
+    best_params, best_aucs = best
+    res = _finish_refine(
+        data, cfg, best_params, best_aucs, lrs[alive],
+        m.TrialRates(**{
+            f: jnp.asarray(rates_np[f][alive]) for f in m.TrialRates._fields
+        }),
+        verbose,
+    )
+    res["configs_inspected"] = int(n_trials)
+    res["survivors"] = alive.tolist()
+    return res
+
+
 def _finish_refine(data, cfg, best_params, best_aucs, lrs, rates, verbose):
     best_aucs = np.asarray(best_aucs)
     winner = int(best_aucs.argmax())
@@ -398,6 +509,7 @@ def run_twowl(
     fused: bool = True,
     state_file: str = "logs/twowl_sweep_state.jsonl",
     refine_trials: int = 0,
+    refine_mode: str = "flat",
 ) -> dict:
     """10-trial sweep with crash-resume: per-trial results append to
     `state_file`; on restart, completed trials replay from it (the RNG
@@ -491,8 +603,10 @@ def run_twowl(
                     "cfg": cfg, "trial": trial}
 
     if refine_trials > 0:
-        with timer.span(f"refine x{refine_trials}"):
-            ref = refine_vmapped(
+        refine_fn = (refine_halving if refine_mode == "halving"
+                     else refine_vmapped)
+        with timer.span(f"refine[{refine_mode}] x{refine_trials}"):
+            ref = refine_fn(
                 data, best["cfg"], run, n_trials=refine_trials,
                 key=jax.random.PRNGKey(run.seed + 10_000), verbose=verbose,
             )

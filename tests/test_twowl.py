@@ -350,3 +350,34 @@ class TestTrialMajor:
         from linkpred_tpu.utils.metrics import roc_auc_score
         for i in range(T):
             assert abs(auc_t[i] - roc_auc_score(d.val.y, np.asarray(logits[:, i]))) < 1e-5
+
+
+class TestSuccessiveHalving:
+    def test_halving_refine_runs_and_prunes(self, fb_data_small=None):
+        """Successive halving must prune to min_trials, keep survivors
+        warm, and return a sane winner."""
+        import jax
+        import numpy as np
+
+        from linkpred_tpu.data import io, split as sp
+        from linkpred_tpu.data.twowl import build_twowl_data
+        from linkpred_tpu.models import twowl as m
+        from linkpred_tpu.pipelines.twowl_pipeline import (
+            TwoWLRunConfig,
+            refine_halving,
+        )
+
+        _, edges = io.load_fb_pages_food()
+        pairs = sp._dedup_upper(edges)
+        data = build_twowl_data(
+            pairs, int(edges.max()) + 1, rng=np.random.default_rng(0)
+        )
+        cfg = m.TwoWLConfig(max_degree=int(np.asarray(data.node_deg).max()) + 1)
+        run = TwoWLRunConfig(epochs=60, chunk_epochs=20)
+        out = refine_halving(
+            data, cfg, run, n_trials=8, eta=2, min_trials=2,
+            key=jax.random.PRNGKey(3),
+        )
+        assert out["configs_inspected"] == 8
+        assert len(out["survivors"]) == 2
+        assert 0.4 < out["test_auc"] <= 1.0
