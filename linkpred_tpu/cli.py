@@ -167,19 +167,36 @@ def _cmd_stats(args):
 
 
 def _cmd_scale(args):
-    """End-to-end collab-scale GCN training over the device mesh
-    (`pipelines.gcn_scale`) — the BASELINE config-5 run as a user command."""
+    """End-to-end collab-scale training as a user command: `--family gcn`
+    (node-sharded GCN over the mesh, `pipelines.gcn_scale` — BASELINE
+    config 5) or `--family seal` (CSR-extraction SEAL on sampled targets,
+    `pipelines.seal_scale` — BASELINE config 4 at scale)."""
     import json
 
-    from linkpred_tpu.pipelines.gcn_scale import ScaleGCNConfig, train_collab
+    if getattr(args, "family", "gcn") == "seal":
+        from linkpred_tpu.pipelines.seal_scale import (
+            ScaleSEALConfig,
+            run_seal_scale,
+        )
 
-    res = train_collab(
-        ScaleGCNConfig(
-            nodes=args.nodes, edges=args.edges, steps=args.steps,
-            dtype=args.dtype, seed=args.seed,
-        ),
-        verbose=not args.quiet,
-    )
+        res = run_seal_scale(
+            ScaleSEALConfig(nodes=args.nodes, edges=args.edges,
+                            hop=args.hop, seed=args.seed),
+            verbose=not args.quiet,
+        )
+    else:
+        from linkpred_tpu.pipelines.gcn_scale import (
+            ScaleGCNConfig,
+            train_collab,
+        )
+
+        res = train_collab(
+            ScaleGCNConfig(
+                nodes=args.nodes, edges=args.edges, steps=args.steps,
+                dtype=args.dtype, seed=args.seed,
+            ),
+            verbose=not args.quiet,
+        )
     print(json.dumps(res))
 
 
@@ -267,10 +284,13 @@ def build_parser() -> argparse.ArgumentParser:
     psc = sub.add_parser(
         "scale", help="end-to-end collab-scale GCN training over the mesh"
     )
+    psc.add_argument("--family", choices=["gcn", "seal"], default="gcn")
     psc.add_argument("--nodes", type=int, default=235_000)
     psc.add_argument("--edges", type=int, default=1_280_000)
     psc.add_argument("--steps", type=int, default=60)
     psc.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    psc.add_argument("--hop", type=int, default=2,
+                     help="SEAL family: enclosing-subgraph hop count")
 
     pn = sub.add_parser("node2vec", help="standalone node2vec embedding CLI")
     pn.add_argument("--input", required=True)

@@ -522,9 +522,19 @@ def run_twowl(
     program (`refine_vmapped`); if the refined winner's val AUC improves,
     its result replaces the sweep winner (record appended, logs.json
     updated with the refined lr/dropouts)."""
+    import os
+
     timer = StepTimer()
     rng = np.random.default_rng(run.seed)
     done = _load_sweep_state(state_file)
+    if not done:
+        # fresh sweep: reset the record/ROC artifacts like the reference's
+        # Model page does before training (`pages/🛠️Model.py:33-37`), so
+        # the record file holds exactly one line per trial of THIS sweep.
+        # A resumed sweep (non-empty journal) keeps its partial records.
+        rec_path = records.record_path(run.dataset, "twowl", run.records_dir)
+        if os.path.exists(rec_path):
+            os.remove(rec_path)
 
     with timer.span("dataset"):
         _, edges = io.load_fb_pages_food(data_dir)

@@ -123,3 +123,13 @@ class TestSEALScale:
         assert out["loss_decreased"], out
         assert out["test_auc"] > 0.6, out
         assert out["subgraphs_per_s"] > 0
+
+
+class TestScaleCLI:
+    def test_scale_family_seal_parses_and_runs(self, capsys):
+        from linkpred_tpu import cli
+
+        cli.main(["--quiet", "scale", "--family", "seal", "--nodes", "400",
+                  "--edges", "1600", "--hop", "1"])
+        out = capsys.readouterr().out
+        assert '"test_auc"' in out
