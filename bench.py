@@ -370,17 +370,20 @@ def main():
         # a 'skipped' marker instead of truncating stdout
         deadline = time.perf_counter() + float(
             os.environ.get("BENCH_GATE_BUDGET_S", "420"))
+        # highest-evidence gates first: if the budget runs out, the
+        # convergence proof, the roofline-tracked SpMM, and the two
+        # scale-pipeline gates must already be in the artifact
         g = collab_graph()
-        _gate(gates, "walks", lambda: gate_walks(g), deadline)
-        _gate(gates, "sgns", gate_sgns, deadline)
-        _gate(gates, "seal_step", gate_seal, deadline)
         _gate(gates, "spmm_single_chip", lambda: gate_spmm(g), deadline)
-        _gate(gates, "node_sharded_mesh", lambda: gate_node_sharded(g),
-              deadline)
-        _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
-              deadline)
         _gate(gates, "collab_e2e_training", gate_collab_e2e, deadline)
         _gate(gates, "collab_seal", gate_collab_seal, deadline)
+        _gate(gates, "sgns", gate_sgns, deadline)
+        _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
+              deadline)
+        _gate(gates, "walks", lambda: gate_walks(g), deadline)
+        _gate(gates, "seal_step", gate_seal, deadline)
+        _gate(gates, "node_sharded_mesh", lambda: gate_node_sharded(g),
+              deadline)
 
     print(json.dumps({
         "metric": "twowl_sweep32_wall_seconds",
