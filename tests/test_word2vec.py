@@ -56,3 +56,25 @@ class TestSGNS:
         assert ((keep > 0) & (keep <= 1)).all()
         assert keep[0] <= keep[2]  # frequent words downsampled harder
         np.testing.assert_allclose(_keep_prob(counts, 0.0), 1.0)
+
+
+class TestSGNSPrep:
+    def test_prep_path_matches_inline(self):
+        """train_sgns(prep=prepare_sgns(...)) must equal the inline path —
+        the prep only hoists corpus-dependent host work."""
+        import jax
+        import numpy as np
+
+        from linkpred_tpu.models.word2vec import (
+            SGNSConfig,
+            prepare_sgns,
+            train_sgns,
+        )
+
+        walks = np.random.default_rng(3).integers(0, 50, (64, 8), np.int32)
+        cfg = SGNSConfig(dim=16, epochs=1, batch_size=256)
+        a = train_sgns(jax.random.PRNGKey(5), walks, 50, cfg)
+        prep = prepare_sgns(walks, 50, cfg)
+        b = train_sgns(jax.random.PRNGKey(5), walks, 50, cfg, prep=prep)
+        assert np.allclose(a, b), np.abs(a - b).max()
+        assert prep.prep_seconds >= 0
