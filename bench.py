@@ -73,8 +73,14 @@ def gate_spmm(g, feats=128):
            "padded_slots": slots}
     x32 = jnp.asarray(np.random.default_rng(2).standard_normal(
         (n, feats)).astype(np.float32))
+    # roofline = chained SELF-gather: a [slots, F] table permuted by random
+    # row indices so the output is carry-shape-stable inside
+    # bench_chained's fori_loop (a [n, F]-table gather would emit
+    # [slots, F] and break the carry — caught in round 3)
     idx = jnp.asarray(np.random.default_rng(3).integers(
-        0, n, slots).astype(np.int32))
+        0, slots, slots).astype(np.int32))
+    g32 = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (slots, feats)).astype(np.float32))
 
     @jax.jit
     def row_gather(x, idx):
@@ -85,11 +91,14 @@ def gate_spmm(g, feats=128):
         # dtype-matched achievable ceiling: a bare random row gather of the
         # SAME slot count and row size the kernel performs (round 2
         # compared bf16 256 B-row gathers against an f32 512 B-row ceiling)
-        dt_g = bench_chained(row_gather, x, idx)
+        dt_g = bench_chained(row_gather, g32.astype(dtype), idx, k=40)
         gather_traffic = slots * feats * b + slots * 4 + slots * feats * b
         gather_gbs = gather_traffic / dt_g / 1e9
+        # k=40: the chained total stays >=14x the ~23 ms dispatch floor
+        # even for the fast bf16 kernel, bounding the floor-subtraction
+        # error to a few percent (round-2 review flagged k=20 as +/-10-15%)
         dt = bench_chained(
-            lambda x, *o: spmm.spmm_bucketed(x, n, *o), x, *ops)
+            lambda x, *o: spmm.spmm_bucketed(x, n, *o), x, *ops, k=40)
         # true-edge traffic (the conventional "effective" number) and the
         # kernel's ACTUAL slot traffic (what the hardware really moves)
         traffic = e * feats * b + e * 4 + n * feats * b
@@ -101,8 +110,14 @@ def gate_spmm(g, feats=128):
             "actual_gb_s": round(actual / dt / 1e9, 1),
             "pct_hbm_peak": round(100 * gbs / PEAK_HBM_GBS, 1),
             "gather_roofline_gb_s": round(gather_gbs, 1),
-            # the kernel must at minimum perform this exact gather, so
-            # dt_gather is its floor time; 100% = gather-speed-of-light
+            # random row gather is row-TRANSACTION-bound on this chip
+            # (~170M rows/s whether rows are 256 B or 512 B — measured,
+            # benchmarks/spmm_variants.py), so the honest floor is rows/s:
+            # the kernel must fetch `slots` random rows; the bare gather
+            # fetches AND writes them, so >100% means the kernel's fused
+            # reduce beats the literal gather+materialize (observed bf16)
+            "gather_rows_per_s": round(slots / dt_g),
+            "kernel_slot_rows_per_s": round(slots / dt),
             "pct_gather_roofline": round(100 * dt_g / dt, 1),
         }
     return out

@@ -55,6 +55,26 @@ def spmm_bucketed_flat(x, num_nodes, *operands):
     return out
 
 
+def spmm_bucketed_vpu(x, num_nodes, *operands):
+    """Variant V: flat gather + VPU multiply/reduce (no MXU einsum).
+
+    The einsum reduce over the degree axis is tiny-FLOP work that the MXU
+    runs as (for f32, precision HIGHEST) three bf16 passes; an elementwise
+    multiply + axis-sum is VPU work that XLA can fuse directly onto the
+    gather output without an MXU round-trip.
+    """
+    import jax.numpy as jnp
+
+    out = jnp.zeros((num_nodes, x.shape[1]), x.dtype)
+    for i in range(0, len(operands), 3):
+        ids, nb, w = operands[i], operands[i + 1], operands[i + 2]
+        g = x[nb.reshape(-1)].reshape(*nb.shape, x.shape[1])
+        agg = jnp.sum(w.astype(x.dtype)[:, :, None] * g, axis=1)
+        out = out.at[ids].set(agg, unique_indices=True,
+                              indices_are_sorted=True)
+    return out
+
+
 def spmm_bucketed_cols(x, num_nodes, *operands):
     """Variant C: slot-column gathers + multiply-add accumulation."""
     import jax.numpy as jnp
@@ -72,6 +92,10 @@ def spmm_bucketed_cols(x, num_nodes, *operands):
 
 
 def main():
+    import os
+    import sys
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +110,37 @@ def main():
     ap.add_argument("--max-degree", type=int, default=64)
     ap.add_argument("--pallas", action="store_true",
                     help="also run the per-row-DMA Pallas attempt (slow)")
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the on-device numerics cross-check (it is "
+                         "also covered at small scale by tests/test_ops.py; "
+                         "the combined 3-variant program is the slowest "
+                         "axon remote compile in this file)")
+    ap.add_argument("--variants", default="einsum2d,flat",
+                    help="comma list from einsum2d,flat,cols,pallas_rowdma. "
+                         "NOTE: 'cols' (width-unrolled gather-fma chain) is "
+                         "a recorded NEGATIVE result on the axon toolchain — "
+                         "its remote compile exceeds 7 minutes at width 64 "
+                         "and was never observed to finish inside the 10-min "
+                         "bench window; run it only at small --max-degree")
+    ap.add_argument("--k", type=int, default=40,
+                    help="chained iterations per measurement (higher k "
+                         "shrinks the dispatch-floor subtraction share)")
     args = ap.parse_args()
+
+    # persistent compilation cache: cold axon remote compiles of the large
+    # chained programs take minutes; cached reruns take seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    def note(msg):
+        print(f"[variants +{time.perf_counter() - T0:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    T0 = time.perf_counter()
 
     lo, hi = synth_powerlaw_graph(args.nodes, args.edges, alpha=0.9, seed=0)
     g = Graph.from_undirected_edges(lo, hi, num_nodes=args.nodes)
@@ -96,47 +150,61 @@ def main():
     layout = spmm.BucketedEll.from_graph(g)
     ops = layout.operands()
     slots = sum(int(b[1].size) for b in layout.buckets)
+    note(f"graph ready: {n} nodes, {e} directed edges, {slots} slots")
     x32 = jnp.asarray(np.random.default_rng(2).standard_normal(
         (n, args.feats)).astype(np.float32))
+    # roofline = chained SELF-gather: a [slots, F] table permuted by random
+    # row indices, output feeding the next iteration (carry-shape-stable
+    # inside bench_chained's fori_loop; gathering from a [n, F] table would
+    # produce a [slots, F] output and break the carry)
     idx = jnp.asarray(np.random.default_rng(3).integers(
-        0, n, slots).astype(np.int32))
+        0, slots, slots).astype(np.int32))
+    g32 = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (slots, args.feats)).astype(np.float32))
 
     @jax.jit
     def row_gather(x, idx):
         return x[idx]
 
-    # numerics cross-check once (f32) — ON DEVICE, scalar pullback only:
-    # eager per-op dispatch and a [235k, 128] host read over the axon
-    # tunnel take minutes (measured the hard way)
-    @jax.jit
-    def _max_err(x, *o):
-        ref = spmm.spmm_bucketed(x, n, *o)
-        e1 = jnp.abs(spmm_bucketed_flat(x, n, *o) - ref).max()
-        e2 = jnp.abs(spmm_bucketed_cols(x, n, *o) - ref).max()
-        return jnp.maximum(e1, e2)
+    if not args.skip_check:
+        # numerics cross-check once (f32) — ON DEVICE, scalar pullback only:
+        # eager per-op dispatch and a [235k, 128] host read over the axon
+        # tunnel take minutes (measured the hard way)
+        @jax.jit
+        def _max_err(x, *o):
+            ref = spmm.spmm_bucketed(x, n, *o)
+            e1 = jnp.abs(spmm_bucketed_flat(x, n, *o) - ref).max()
+            e2 = jnp.abs(spmm_bucketed_cols(x, n, *o) - ref).max()
+            return jnp.maximum(e1, e2)
 
-    import jax.numpy as jnp
-    err = float(_max_err(x32, *ops))
-    assert err < 1e-3, err
+        err = float(_max_err(x32, *ops))
+        assert err < 1e-3, err
+        note(f"numerics check passed: max |diff| {err:.2e}")
 
-    variants = {
+    all_variants = {
         "einsum2d": spmm.spmm_bucketed,
         "flat": spmm_bucketed_flat,
+        "vpu": spmm_bucketed_vpu,
         "cols": spmm_bucketed_cols,
     }
     if args.pallas:
         from linkpred_tpu.ops.pallas_kernels import spmm_rowdma_bucketed
 
-        variants["pallas_rowdma"] = spmm_rowdma_bucketed
+        all_variants["pallas_rowdma"] = spmm_rowdma_bucketed
+    variants = {k: v for k, v in all_variants.items()
+                if k in args.variants.split(",")}
 
     for dtype, b, tag in ((jnp.float32, 4, "f32"), (jnp.bfloat16, 2, "bf16")):
         x = x32.astype(dtype)
-        dt_g = bench_chained(row_gather, x, idx)
+        note(f"{tag}: benching gather roofline")
+        dt_g = bench_chained(row_gather, g32.astype(dtype), idx, k=args.k)
         gather_traffic = 2 * slots * args.feats * b + slots * 4
         roof = gather_traffic / dt_g / 1e9
         for name, fn in variants.items():
+            note(f"{tag}: benching {name}")
             try:
-                dt = bench_chained(lambda x, *o: fn(x, n, *o), x, *ops)
+                dt = bench_chained(lambda x, *o: fn(x, n, *o), x, *ops,
+                                   k=args.k)
             except Exception as ex:  # pallas may fail off-TPU
                 print(json.dumps({"variant": name, "dtype": tag,
                                   "error": str(ex)[:200]}))

@@ -41,6 +41,11 @@ def _load_config(args):
             )
     if getattr(args, "trials", None) is not None:
         cfg = dataclasses.replace(cfg, twowl_trials=args.trials)
+    if args.cmd == "seal" and getattr(args, "hop", None) is not None:
+        hop = args.hop if args.hop == "auto" else int(args.hop)
+        cfg = dataclasses.replace(
+            cfg, seal=dataclasses.replace(cfg.seal, hop=hop)
+        )
     return apply_overrides(cfg, args.set or [])
 
 
@@ -257,6 +262,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser("seal", help="SEAL enclosing-subgraph DGCNN")
     ps.add_argument("--epochs", type=int, default=None)
+    ps.add_argument(
+        "--hop", default=None, metavar="H",
+        help="enclosing-subgraph hop count: 'auto' (CN-vs-AA heuristic, "
+             "the reference default) or an integer; BASELINE config 4 is "
+             "--hop 2 (2-hop stress sampler + fused node2vec features)",
+    )
 
     pt = sub.add_parser("twowl", help="TwoWL 2-WL GNN with hyperparameter sweep")
     pt.add_argument("--epochs", type=int, default=None)

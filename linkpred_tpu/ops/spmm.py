@@ -196,7 +196,14 @@ def spmm_bucketed(x: jnp.ndarray, num_nodes: int, *operands) -> jnp.ndarray:
     out = jnp.zeros((num_nodes, x.shape[1]), x.dtype)
     for i in range(0, len(operands), 3):
         ids, nb, w = operands[i], operands[i + 1], operands[i + 2]
-        agg = jnp.einsum("nd,ndf->nf", w.astype(x.dtype), x[nb],
+        # FLAT 1-D index gather then reshape: XLA-on-TPU's fast gather path
+        # wants a 2-D operand with 1-D indices; the 2-D-index form `x[nb]`
+        # measures 2-5% slower in both dtypes at collab scale
+        # (benchmarks/spmm_variants.py, round 3). The reduce engine is
+        # irrelevant (einsum vs VPU multiply-reduce measured identical) —
+        # the op is bound by slot-row traffic, not FLOPs.
+        g = x[nb.reshape(-1)].reshape(*nb.shape, x.shape[1])
+        agg = jnp.einsum("nd,ndf->nf", w.astype(x.dtype), g,
                          precision=prec)
         out = out.at[ids].set(agg, unique_indices=True,
                               indices_are_sorted=True)
