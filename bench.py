@@ -222,43 +222,60 @@ def gate_walks(g, walkers=65_536, length=16):
 
 
 def gate_sgns(num_nodes=235_000, walk_length=16):
-    """SGNS throughput with host prep separated from the device loop.
+    """SGNS throughput vs a MEASURED on-host gensim-class baseline.
 
-    Round-2's number folded a pure-Python 235k-entry Vose alias build into
-    every timed call; the gate now reports `host_prep_s` (one-time, via the
-    C++ alias plane) and `tokens_per_s_device` / `pairs_per_s_device` for
-    the steady-state jit loop alone. `gensim_baseline_words_per_s` is a
-    cited figure, not a measurement — gensim is not installable in this
-    image; the published gensim word2vec benchmark sustains ~0.3-0.6M
-    words/s for skip-gram sg=1 on 8 cores (RaRe benchmark suite /
-    word2vec release notes), recorded here so "match or beat" is checked
-    against a concrete number.
+    Device number: the steady-state jit loop, synced by a one-row pull
+    (the [N, dim] table stays on device for downstream pair-feature
+    gathers — pulling it over the axon tunnel costs more than training).
+    Baseline: `native.sgns_train_ref`, a faithful C++ hogwild
+    reimplementation of the gensim training loop the reference uses
+    (`feature_extraction.py:17`, workers=8 C threads), run on THIS host's
+    cores over the same corpus distribution — the round-3 gate only cited
+    gensim's published 450k words/s (8 cores); both are reported.
     """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
+    from linkpred_tpu import native
     from linkpred_tpu.models.word2vec import (
-        SGNSConfig, prepare_sgns, train_sgns)
+        SGNSConfig, prepare_sgns, train_sgns_device)
 
     walks = np.random.default_rng(5).integers(
         0, num_nodes, (65536, walk_length), dtype=np.int32)
     cfg = SGNSConfig(dim=128, epochs=1, batch_size=65536)
     prep = prepare_sgns(walks, num_nodes, cfg)
-    train_sgns(jax.random.PRNGKey(7), walks, num_nodes, cfg, prep=prep)
+
+    def run(seed):
+        w = train_sgns_device(
+            jax.random.PRNGKey(seed), walks, num_nodes, cfg, prep=prep)
+        float(jnp.sum(w[0]))  # scalar sync; table stays device-resident
+    run(7)
     t0 = time.perf_counter()
-    train_sgns(jax.random.PRNGKey(17), walks, num_nodes, cfg, prep=prep)
+    run(17)
     dt = time.perf_counter() - t0
     pairs = walks.size * cfg.window * 2 * cfg.epochs  # candidate pairs
-    baseline = 450_000
     tok_s = round(walks.size * cfg.epochs / dt)
-    return {"tokens_per_s_device": tok_s,
-            "pairs_per_s_device": round(pairs / dt),
-            "host_prep_s": round(prep.prep_seconds, 3),
-            "native_alias": bool(__import__(
-                "linkpred_tpu.native", fromlist=["available"]).available()),
-            "gensim_baseline_words_per_s": baseline,
-            "gensim_baseline_kind": "cited (sg=1, 8 threads); not measured",
-            "beats_gensim_cited": bool(tok_s > baseline)}
+
+    out = {"tokens_per_s_device": tok_s,
+           "pairs_per_s_device": round(pairs / dt),
+           "host_prep_s": round(prep.prep_seconds, 3),
+           "gensim_cited_words_per_s": 450_000,
+           "beats_gensim_cited": bool(tok_s > 450_000)}
+    if native.available():
+        # measured on-host baseline on a 1/4 corpus (bounds gate time);
+        # words/s is corpus-size independent at fixed vocab
+        t0 = time.perf_counter()
+        _, trained = native.sgns_train_ref(
+            walks[:16384], num_nodes, dim=128, epochs=1)
+        ref_dt = time.perf_counter() - t0
+        host = round(trained / ref_dt)
+        out["host_measured_words_per_s"] = host
+        out["host_measured_kind"] = (
+            "native/graphlib.cpp sgns_train_ref (gensim loop, hogwild, "
+            "all host cores)")
+        out["beats_host_measured"] = bool(tok_s > host)
+    return out
 
 
 def gate_seal(num_nodes=235_000):

@@ -120,14 +120,18 @@ class Graph:
         v: np.ndarray,
         num_nodes: Optional[int] = None,
         max_degree: Optional[int] = None,
+        weight: Optional[np.ndarray] = None,
     ) -> "Graph":
         """Build from undirected pairs; stores both orientations, drops
         duplicate pairs and self-loops (the fb-pages-food edge file has
-        neither, but synthetic generators may)."""
+        neither, but synthetic generators may). `weight` ([#pairs] floats)
+        applies to both orientations of each kept pair."""
         u = np.asarray(u, dtype=np.int64).reshape(-1)
         v = np.asarray(v, dtype=np.int64).reshape(-1)
         keep = u != v
         u, v = u[keep], v[keep]
+        if weight is not None:
+            weight = np.asarray(weight).reshape(-1)[keep]
         lo, hi = np.minimum(u, v), np.maximum(u, v)
         if num_nodes is None:
             num_nodes = int(max(lo.max(initial=-1), hi.max(initial=-1))) + 1
@@ -136,7 +140,12 @@ class Graph:
         lo, hi = lo[uniq], hi[uniq]
         src = np.concatenate([lo, hi])
         dst = np.concatenate([hi, lo])
-        return Graph.from_edges(src, dst, num_nodes=num_nodes, max_degree=max_degree)
+        w2 = None
+        if weight is not None:
+            weight = weight[uniq]
+            w2 = np.concatenate([weight, weight])
+        return Graph.from_edges(src, dst, num_nodes=num_nodes,
+                                max_degree=max_degree, weight=w2)
 
     def with_degree_cap(self, cap: int, rng=None,
                         symmetric: bool = False) -> "Graph":

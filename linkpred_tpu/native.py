@@ -139,9 +139,15 @@ def build_alias_rows(probs, valid):
     return J, q
 
 
-def edge_bias_probs(src, dst, nbr, mask, indptr, indices, p: float, q: float):
+def edge_bias_probs(src, dst, nbr, mask, indptr, indices, p: float, q: float,
+                    nbr_weight=None):
     """p/q-biased neighbor probabilities per directed edge (the 2nd-order
-    walk bias of reference `node2vec.py:55-74`). [E, D] float64."""
+    walk bias of reference `node2vec.py:55-74`). [E, D] float64.
+
+    `nbr_weight` ([N, D] float32 in ELL layout) scales each neighbor's bias
+    by the edge weight — the weighted-graph `get_alias_edge` semantics —
+    without any dense [N, N] has-edge matrix, so weighted walks keep the
+    same scale ceiling as unweighted ones."""
     lib = load_library()
     src = _i32(src)
     dst = _i32(dst)
@@ -151,17 +157,55 @@ def edge_bias_probs(src, dst, nbr, mask, indptr, indices, p: float, q: float):
         raise RuntimeError("native library unavailable; use python path")
     nbr_c = _i32(nbr)
     mask_c = np.ascontiguousarray(mask, dtype=np.uint8)
+    if nbr_weight is not None:
+        w_c = np.ascontiguousarray(nbr_weight, dtype=np.float32)
+        w_ptr = _ptr(w_c, ctypes.c_float)
+    else:
+        w_ptr = ctypes.POINTER(ctypes.c_float)()
     out = np.zeros((e, d), dtype=np.float64)
     lib.edge_bias_probs(
         _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
         ctypes.c_int64(e),
         _ptr(nbr_c, ctypes.c_int32), _ptr(mask_c, ctypes.c_uint8),
-        ctypes.c_int32(d),
+        w_ptr, ctypes.c_int32(d),
         _ptr(_i32(indptr), ctypes.c_int32), _ptr(_i32(indices), ctypes.c_int32),
         ctypes.c_double(p), ctypes.c_double(q),
         _ptr(out, ctypes.c_double),
     )
     return out
+
+
+def sgns_train_ref(walks, num_nodes: int, dim: int = 128, window: int = 10,
+                   negatives: int = 5, epochs: int = 1, lr: float = 0.025,
+                   min_lr: float = 1e-4, seed: int = 0,
+                   n_threads: int = 0):
+    """Measured on-host gensim-class SGNS baseline (hogwild C++ threads —
+    the loop structure of gensim's C training path, used by the reference
+    at `feature_extraction.py:17` with workers=8). Returns
+    (syn0 [N, dim] float32, words_trained). Raises if the native library
+    is unavailable; this exists to give the bench sgns gate a MEASURED
+    words/s denominator on this host, not as a production path."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lib.sgns_train_ref.restype = ctypes.c_int64
+    walks = _i32(walks)
+    n_walks, walk_len = walks.shape
+    counts = np.bincount(walks.reshape(-1), minlength=num_nodes).astype(
+        np.int64)
+    rng = np.random.default_rng(seed)
+    syn0 = ((rng.random((num_nodes, dim)) - 0.5) / dim).astype(np.float32)
+    syn1 = np.zeros((num_nodes, dim), dtype=np.float32)
+    trained = lib.sgns_train_ref(
+        _ptr(walks, ctypes.c_int32), ctypes.c_int64(n_walks),
+        ctypes.c_int32(walk_len), _ptr(counts, ctypes.c_int64),
+        ctypes.c_int32(num_nodes), ctypes.c_int32(dim),
+        ctypes.c_int32(window), ctypes.c_int32(negatives),
+        ctypes.c_int32(epochs), ctypes.c_float(lr), ctypes.c_float(min_lr),
+        ctypes.c_uint64(seed), ctypes.c_int32(n_threads),
+        _ptr(syn0, ctypes.c_float), _ptr(syn1, ctypes.c_float),
+    )
+    return syn0, int(trained)
 
 
 def extract_subgraphs_csr(indptr, indices, num_nodes: int, pairs,

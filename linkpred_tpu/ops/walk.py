@@ -107,10 +107,13 @@ class AliasTables:
             return AliasTables(node_J, node_q, edge_J, edge_q)
 
         valid = g.nbr_mask[g.dst]
-        if native.available() and g.nbr_weight is None:
-            # C++ path: binary-search membership over CSR rows, threaded
+        if native.available():
+            # C++ path: binary-search membership over CSR rows, threaded;
+            # edge weights (when present) scale the bias in the same pass,
+            # so weighted graphs share the unweighted scale ceiling
             probs = native.edge_bias_probs(
-                g.src, g.dst, g.nbr, g.nbr_mask, g.indptr, g.indices, p, q
+                g.src, g.dst, g.nbr, g.nbr_mask, g.indptr, g.indices, p, q,
+                nbr_weight=g.nbr_weight,
             )
         else:
             # numpy fallback: dense has-edge lookup (fine up to ~20k nodes);

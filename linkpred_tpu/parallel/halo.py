@@ -1,0 +1,247 @@
+"""Halo-exchange node-sharded SpMM: collective traffic ∝ edge-cut, not N.
+
+The round-3 node-sharded designs (`parallel.spmm_shard`) either keep the
+feature matrix replicated or all-gather the full [N, F] per layer — an
+O(N·F) per-layer collective regardless of partition quality. This module
+carries the actual Spark behavioral contract — the walk step exchanges
+only the *frontier* each step (`Node2vec.scala:103-124`), i.e. only data
+the consumer actually needs — to feature aggregation:
+
+1. **Locality-aware ordering** (host): nodes are re-ordered by reverse
+   Cuthill-McKee over the symmetrized adjacency, so contiguous row blocks
+   have most of their edges inside the block and the block-to-block
+   edge cut (the halo) is small.
+2. **Ghost-row index** (host): for every shard pair (j → k), the sorted
+   unique rows owned by j that k's edges reference. Padded to the max
+   pair capacity C so shapes are static.
+3. **Boundary-only exchange** (device): each shard gathers its send rows
+   into an [S, C, F] buffer and one `lax.all_to_all` delivers every
+   shard exactly the ghost rows it needs — `S*C*F*dtype` bytes per
+   device per layer, proportional to the edge cut. Local aggregation is
+   the scatter-free bucketed-ELL gather+einsum over [local block ‖ ghosts].
+
+`spmm_halo_sym` adds the symmetric-adjacency custom VJP (same kernel in
+the backward pass — relabeling preserves symmetry), so end-to-end
+training runs both directions at aggregation-kernel speed, like
+`spmm_node_sharded_sym`, but with cut-proportional collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloLayout:
+    """Host-built layout for `spmm_halo` (module docstring).
+
+    All node ids in `stacked` are LOCAL to their shard: [0, rows) is the
+    shard's own block, [rows, rows + S*C) addresses the ghost area
+    (shard j's rows at offset rows + j*C). The graph is RELABELED by
+    `order` (new id i == old node `order[i]`); callers must map node-id
+    inputs through `inv_perm` (old → new) and outputs back via `order`.
+    """
+
+    num_nodes: int
+    n_shards: int
+    rows_per_shard: int
+    ghost_capacity: int  # C = max rows any shard needs from any other
+    order: np.ndarray  # [N] new position -> old node id (RCM order)
+    inv_perm: np.ndarray  # [N] old node id -> new position
+    send_idx: np.ndarray  # [S, S, C] shard-local rows j sends to k
+    # per bucket: (ids [S, m], nbr_local [S, m, w], wgt [S, m, w])
+    stacked: tuple
+    pad_rows: int  # out-buffer padding rows beyond the block
+    edge_cut: int  # directed edges crossing shard blocks (diagnostic)
+
+    def collective_bytes_per_layer(self, feats: int, dtype_bytes: int = 4):
+        """all_to_all payload per device per aggregation."""
+        return self.n_shards * self.ghost_capacity * feats * dtype_bytes
+
+    @staticmethod
+    def build(g, n_shards: int, reorder: bool = True) -> "HaloLayout":
+        """Build from a `data.graph.Graph`. `reorder=False` keeps the
+        input node order (A/B baseline for measuring what RCM buys)."""
+        from linkpred_tpu.ops.spmm import BucketedEll
+
+        n = g.num_nodes
+        if reorder:
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            ones = np.ones(len(g.src), np.int8)
+            a = sp.csr_matrix((ones, (g.src, g.dst)), shape=(n, n))
+            order = np.asarray(
+                reverse_cuthill_mckee(a + a.T, symmetric_mode=True),
+                dtype=np.int64)
+        else:
+            order = np.arange(n, dtype=np.int64)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+
+        # relabeled ELL views
+        nbr = inv[g.nbr[order]].astype(np.int32)
+        mask = g.nbr_mask[order]
+        wgt = g.nbr_weight[order] if g.nbr_weight is not None else None
+
+        rows = -(-n // n_shards)
+        owner_of = lambda ids: ids // rows  # noqa: E731
+
+        # ghost needs per (receiver k, owner j)
+        need = [[None] * n_shards for _ in range(n_shards)]
+        cap = 0
+        cut = 0
+        for k in range(n_shards):
+            lo, hi = k * rows, min((k + 1) * rows, n)
+            ids = nbr[lo:hi][mask[lo:hi]]
+            own = owner_of(ids)
+            cut += int((own != k).sum())
+            for j in range(n_shards):
+                if j == k:
+                    continue
+                uniq = np.unique(ids[own == j])
+                need[k][j] = uniq
+                cap = max(cap, len(uniq))
+        cap = max(cap, 1)
+
+        send_idx = np.zeros((n_shards, n_shards, cap), np.int32)
+        # per-shard remap old-new-id -> local table position
+        remap = np.zeros((n_shards, rows * n_shards), np.int32)
+        for k in range(n_shards):
+            m = np.zeros(rows * n_shards, np.int32)
+            lo = k * rows
+            m[lo:lo + rows] = np.arange(rows)
+            for j in range(n_shards):
+                if j == k:
+                    continue
+                ids = need[k][j]
+                send_idx[j, k, : len(ids)] = ids - j * rows
+                m[ids] = rows + j * cap + np.arange(len(ids))
+            remap[k] = m
+
+        # per-shard bucketed layouts over remapped neighbors, stacked
+        per_shard = []
+        for k in range(n_shards):
+            lo, hi = k * rows, min((k + 1) * rows, n)
+            nbr_k = remap[k][np.minimum(nbr[lo:hi], rows * n_shards - 1)]
+            per_shard.append(
+                BucketedEll.build(nbr_k, mask[lo:hi],
+                                  wgt[lo:hi] if wgt is not None else None))
+        widths = sorted({b[1].shape[1] for lay in per_shard
+                         for b in lay.buckets})
+        stacked = []
+        pad_rows = 1
+        for wd in widths:
+            sizes = [next((b[0].shape[0] for b in lay.buckets
+                           if b[1].shape[1] == wd), 0) for lay in per_shard]
+            m_max = max(max(sizes), 1)
+            pad_rows = max(pad_rows, m_max)
+            ids_s = np.zeros((n_shards, m_max), np.int32)
+            nbr_s = np.zeros((n_shards, m_max, wd), np.int32)
+            wgt_s = np.zeros((n_shards, m_max, wd), np.float32)
+            for k, lay in enumerate(per_shard):
+                b = next((b for b in lay.buckets if b[1].shape[1] == wd),
+                         None)
+                m = 0
+                if b is not None:
+                    ids, nb, wg = b
+                    m = ids.shape[0]
+                    ids_s[k, :m] = ids
+                    nbr_s[k, :m] = nb
+                    wgt_s[k, :m] = wg
+                # padding rows write past the block — unique + sorted
+                ids_s[k, m:] = rows + np.arange(m_max - m, dtype=np.int32)
+            stacked.extend((ids_s, nbr_s, wgt_s))
+        return HaloLayout(
+            num_nodes=n, n_shards=n_shards, rows_per_shard=rows,
+            ghost_capacity=cap, order=order, inv_perm=inv,
+            send_idx=send_idx, stacked=tuple(stacked), pad_rows=pad_rows,
+            edge_cut=cut,
+        )
+
+    def operands(self):
+        """Device-array tuple: (send_idx, *stacked)."""
+        return (jnp.asarray(self.send_idx),) + tuple(
+            jnp.asarray(a) for a in self.stacked)
+
+
+def spmm_halo(
+    mesh: Mesh,
+    x: jnp.ndarray,  # [rows*S, F] node features in RELABELED order
+    num_nodes: int,
+    rows_per_shard: int,
+    ghost_capacity: int,
+    *ops,  # HaloLayout.operands()
+    axis: str = "edge",
+) -> jnp.ndarray:
+    """Boundary-exchange node-sharded SpMM (module docstring).
+
+    Returns [num_nodes, F] in relabeled order, row-sharded over `axis`.
+    """
+    s = mesh.shape[axis]
+    rows, cap = rows_per_shard, ghost_capacity
+    pad_total = rows * s
+
+    def local(x_l, send_idx, *buckets):
+        send_idx = send_idx[0]  # [S, C]... sharded leading dim
+        f = x_l.shape[1]
+        send = x_l[send_idx.reshape(-1)].reshape(s, cap, f)
+        ghosts = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=True)
+        table = jnp.concatenate([x_l, ghosts.reshape(s * cap, f)], axis=0)
+        pad = max(b.shape[1] for b in buckets[::3])
+        out = jnp.zeros((rows + pad, f), x_l.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if x_l.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        for i in range(0, len(buckets), 3):
+            ids, nb, wg = buckets[i][0], buckets[i + 1][0], buckets[i + 2][0]
+            agg = jnp.einsum("nd,ndf->nf", wg.astype(x_l.dtype), table[nb],
+                             precision=prec)
+            out = out.at[ids].set(agg, unique_indices=True,
+                                  indices_are_sorted=True)
+        return out[:rows]
+
+    in_specs = (P(axis),) * (1 + len(ops))
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),) + in_specs[:-1],
+                   out_specs=P(axis))
+    if x.shape[0] < pad_total:
+        x = jnp.pad(x, ((0, pad_total - x.shape[0]), (0, 0)))
+    out = fn(x, *ops)
+    return out[:num_nodes] if pad_total > num_nodes else out
+
+
+def spmm_halo_sym(mesh, x, num_nodes, rows_per_shard, ghost_capacity, ops,
+                  axis: str = "edge"):
+    """`spmm_halo` with the symmetric-adjacency custom VJP: for w_ij = w_ji
+    the backward pass is the same halo kernel applied to the cotangent
+    (A^T = A; RCM relabeling is a symmetric permutation). `ops` is the
+    tuple from `HaloLayout.operands()`."""
+
+    @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+    def run(x, num_nodes_, rows_, cap_, axis_, ops_):
+        return spmm_halo(mesh, x, num_nodes_, rows_, cap_, *ops_,
+                         axis=axis_)
+
+    def fwd(x, num_nodes_, rows_, cap_, axis_, ops_):
+        return run(x, num_nodes_, rows_, cap_, axis_, ops_), ops_
+
+    def bwd(num_nodes_, rows_, cap_, axis_, ops_, g):
+        dx = spmm_halo(mesh, g, num_nodes_, rows_, cap_, *ops_, axis=axis_)
+        if dx.shape[0] < g.shape[0]:  # mirror forward's input padding
+            dx = jnp.pad(dx, ((0, g.shape[0] - dx.shape[0]), (0, 0)))
+        zeros = tuple(
+            np.zeros(a.shape, jax.dtypes.float0)
+            if not jnp.issubdtype(a.dtype, jnp.inexact) else jnp.zeros_like(a)
+            for a in ops_
+        )
+        return (dx, zeros)
+
+    run.defvjp(fwd, bwd)
+    return run(x, num_nodes, rows_per_shard, ghost_capacity, axis, ops)

@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -116,12 +117,16 @@ void build_alias_rows(const double* probs, const int32_t* deg, int64_t r,
 // ---------------------------------------------------------------------------
 // 2nd-order (node2vec p/q) edge bias probabilities.
 // For every directed edge e = (s -> t): over t's neighbor slots x:
-//   prob = 1/p if x == s, 1 if edge(x, s) exists, else 1/q.
-// nbr/mask are the ELL arrays; has_edge test uses binary search over the
-// CSR row of x. Output probs [e*d] doubles (0 where invalid).
+//   prob = w(t, x) * (1/p if x == s, 1 if edge(x, s) exists, else 1/q),
+// where w is the edge weight (reference `get_alias_edge`, node2vec.py:55-74;
+// unweighted graphs pass weight = nullptr -> w = 1).
+// nbr/mask are the ELL arrays (weight [n*d] float32 in the same layout);
+// has_edge test uses binary search over the CSR row of x.
+// Output probs [e*d] doubles (0 where invalid).
 // ---------------------------------------------------------------------------
 void edge_bias_probs(const int32_t* src, const int32_t* dst, int64_t e,
-                     const int32_t* nbr, const uint8_t* mask, int32_t d,
+                     const int32_t* nbr, const uint8_t* mask,
+                     const float* weight, int32_t d,
                      const int32_t* indptr, const int32_t* indices,
                      double p, double q, double* probs) {
   int nthreads = (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16);
@@ -136,11 +141,14 @@ void edge_bias_probs(const int32_t* src, const int32_t* dst, int64_t e,
       int32_t s = src[i], t = dst[i];
       const int32_t* row = nbr + (int64_t)t * d;
       const uint8_t* m = mask + (int64_t)t * d;
+      const float* w = weight ? weight + (int64_t)t * d : nullptr;
       double* out = probs + i * d;
       for (int32_t k = 0; k < d; ++k) {
         if (!m[k]) { out[k] = 0.0; continue; }
         int32_t x = row[k];
-        out[k] = (x == s) ? 1.0 / p : (has_edge(x, s) ? 1.0 : 1.0 / q);
+        double bias =
+            (x == s) ? 1.0 / p : (has_edge(x, s) ? 1.0 : 1.0 / q);
+        out[k] = w ? bias * w[k] : bias;
       }
     }
   };
@@ -351,6 +359,132 @@ void drnl_tags_batch(const uint8_t* adj, const uint8_t* mask,
     ts.emplace_back(work, lo, hi);
   }
   for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// Host CPU skip-gram negative-sampling reference trainer — a faithful
+// reimplementation of the gensim/word2vec.c training loop the reference
+// depends on (`requirements.txt:13`, used at
+// `LogisticRegression_Linkprediction/utils/feature_extraction.py:17` with
+// workers=8 C threads): hogwild multithreaded SGD, per-position reduced
+// window b ~ U[0, window), unigram^0.75 negative table, sigmoid via a
+// 1000-entry exp table over [-6, 6], linear lr decay. Its purpose is a
+// MEASURED on-host words/s baseline for the bench sgns gate (gensim itself
+// is not installable in this image), not a production path — the TPU
+// trainer in models/word2vec.py is the production path.
+// Inputs: walks [n_walks * walk_len] int32, counts [n_nodes] int64.
+// Outputs: syn0 [n_nodes * dim] float32 (caller-initialized uniform/dim),
+//          syn1 [n_nodes * dim] float32 (caller-zeroed).
+// Returns the number of center-token updates processed (words trained).
+// ---------------------------------------------------------------------------
+int64_t sgns_train_ref(const int32_t* walks, int64_t n_walks,
+                       int32_t walk_len, const int64_t* counts,
+                       int32_t n_nodes, int32_t dim, int32_t window,
+                       int32_t negs, int32_t epochs, float lr0, float min_lr,
+                       uint64_t seed, int32_t n_threads, float* syn0,
+                       float* syn1) {
+  // unigram^0.75 table (word2vec.c InitUnigramTable, 1e8 entries there;
+  // 16M here keeps init cheap at the same sampling resolution for 235k
+  // vocabularies)
+  const int64_t table_size = 1 << 24;
+  std::vector<int32_t> table(table_size);
+  {
+    double total = 0.0;
+    for (int32_t i = 0; i < n_nodes; ++i)
+      total += std::pow((double)counts[i], 0.75);
+    int64_t i = 0;
+    double cum = std::pow((double)counts[0], 0.75) / total;
+    for (int64_t a = 0; a < table_size; ++a) {
+      table[a] = (int32_t)i;
+      if ((double)(a + 1) / table_size > cum && i < n_nodes - 1) {
+        ++i;
+        cum += std::pow((double)counts[i], 0.75) / total;
+      }
+    }
+  }
+  // sigmoid table (word2vec.c EXP_TABLE_SIZE=1000, MAX_EXP=6)
+  const int kExp = 1000;
+  const float kMaxExp = 6.0f;
+  std::vector<float> expt(kExp);
+  for (int i = 0; i < kExp; ++i) {
+    float x = std::exp(((float)i / kExp * 2 - 1) * kMaxExp);
+    expt[i] = x / (x + 1);
+  }
+
+  if (n_threads < 1)
+    n_threads = (int32_t)std::max<uint32_t>(
+        1, std::thread::hardware_concurrency());
+  const int64_t total_words = n_walks * (int64_t)walk_len * epochs;
+  std::atomic<int64_t> words_done(0);
+
+  auto work = [&](int t) {
+    std::vector<float> neu1e(dim);
+    uint64_t rnd = seed + 0x9e3779b97f4a7c15ULL * (uint64_t)(t + 1);
+    auto next_rand = [&]() {
+      rnd = rnd * 6364136223846793005ULL + 1442695040888963407ULL;
+      return rnd;
+    };
+    int64_t lo = n_walks * t / n_threads, hi = n_walks * (t + 1) / n_threads;
+    int64_t local_words = 0;
+    float lr = lr0;
+    for (int32_t ep = 0; ep < epochs; ++ep) {
+      for (int64_t s = lo; s < hi; ++s) {
+        const int32_t* sent = walks + s * walk_len;
+        for (int32_t pos = 0; pos < walk_len; ++pos) {
+          // linear decay over the thread's share, gensim-style (refresh
+          // every 10k words to keep the atomic off the hot path)
+          if ((local_words & 0x2fff) == 0) {
+            int64_t done = words_done.load(std::memory_order_relaxed);
+            lr = lr0 - (lr0 - min_lr) * ((double)done / total_words);
+            if (lr < min_lr) lr = min_lr;
+          }
+          ++local_words;
+          if ((local_words & 0x3ff) == 0)
+            words_done.fetch_add(0x400, std::memory_order_relaxed);
+          int32_t w = sent[pos];
+          int32_t b = (int32_t)(next_rand() % window);
+          for (int32_t j = pos - window + b; j <= pos + window - b; ++j) {
+            if (j == pos || j < 0 || j >= walk_len) continue;
+            int32_t c = sent[j];
+            if (c == w) continue;
+            float* v = syn0 + (int64_t)c * dim;  // gensim trains context
+            std::fill(neu1e.begin(), neu1e.end(), 0.0f);
+            for (int32_t k = 0; k <= negs; ++k) {
+              int32_t target;
+              float label;
+              if (k == 0) {
+                target = w;
+                label = 1.0f;
+              } else {
+                target = table[next_rand() % table_size];
+                if (target == w) continue;
+                label = 0.0f;
+              }
+              float* u = syn1 + (int64_t)target * dim;
+              float f = 0;
+              for (int32_t d_ = 0; d_ < dim; ++d_) f += v[d_] * u[d_];
+              float g;
+              if (f > kMaxExp) g = (label - 1.0f) * lr;
+              else if (f < -kMaxExp) g = label * lr;
+              else
+                g = (label -
+                     expt[(int)((f + kMaxExp) * (kExp / kMaxExp / 2))]) *
+                    lr;
+              for (int32_t d_ = 0; d_ < dim; ++d_) neu1e[d_] += g * u[d_];
+              for (int32_t d_ = 0; d_ < dim; ++d_) u[d_] += g * v[d_];
+            }
+            for (int32_t d_ = 0; d_ < dim; ++d_) v[d_] += neu1e[d_];
+          }
+        }
+      }
+    }
+    words_done.fetch_add(local_words & 0x3ff, std::memory_order_relaxed);
+    return;
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+  for (auto& t : ts) t.join();
+  return total_words;
 }
 
 }  // extern "C"
