@@ -30,7 +30,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def synth_powerlaw_graph(n_nodes: int, n_edges: int, alpha: float, seed: int):
+def synth_powerlaw_graph(n_nodes: int, n_edges: int, alpha: float = 0.9,
+                         seed: int = 0):
     """Preferential-attachment-flavored random multigraph, deduplicated."""
     rng = np.random.default_rng(seed)
     # degree-propensity ~ zipf over node ranks
@@ -44,6 +45,39 @@ def synth_powerlaw_graph(n_nodes: int, n_edges: int, alpha: float, seed: int):
     key = lo.astype(np.int64) * n_nodes + hi
     _, idx = np.unique(key, return_index=True)
     idx = idx[: n_edges]
+    return lo[idx], hi[idx]
+
+
+def synth_community_graph(n_nodes: int, n_edges: int, n_comm: int = 64,
+                          p_intra: float = 0.92, alpha: float = 0.9,
+                          seed: int = 0):
+    """Community-structured power-law graph (the realistic regime for
+    collaboration networks like ogbl-collab: strong clustering, small
+    inter-community cut). Node labels are SHUFFLED so the raw ordering
+    carries no locality — a partitioner must rediscover the communities
+    (what `HaloLayout`'s RCM ordering is for). Returns (lo, hi) pairs.
+    """
+    rng = np.random.default_rng(seed)
+    per = n_nodes // n_comm
+    m = int(n_edges * 1.4)
+    c_u = rng.integers(0, n_comm, m)
+    # within-community zipf-ish propensity
+    w = (np.arange(1, per + 1, dtype=np.float64)) ** (-alpha)
+    w /= w.sum()
+    u_loc = rng.choice(per, size=m, p=w)
+    v_loc = rng.integers(0, per, size=m)
+    cross = rng.random(m) >= p_intra
+    c_v = np.where(cross, rng.integers(0, n_comm, m), c_u)
+    u = c_u * per + u_loc
+    v = c_v * per + v_loc
+    label = rng.permutation(n_nodes)
+    u, v = label[u], label[v]
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    key = lo.astype(np.int64) * n_nodes + hi
+    _, idx = np.unique(key, return_index=True)
+    idx = idx[:n_edges]
     return lo[idx], hi[idx]
 
 
@@ -167,19 +201,65 @@ def main():
             lambda x, *ops: spmm_node_sharded(
                 mesh_all, x, args.nodes, rows, *ops), x, *stacked_j)
         eps = e_directed / dt
+        note = ("virtual CPU mesh: all shards share ONE host's "
+                "memory bandwidth and the 1-'device' baseline "
+                "already uses the whole machine, so per-shard "
+                "efficiency is structurally pessimistic; "
+                "vs_whole_machine_single is the sharding overhead "
+                "(collectives + partition imbalance) on this host")
         print(json.dumps({
             "metric": "spmm_node_sharded_bucketed", "shards": n_shards,
             "edges_per_s": round(eps), "seconds": round(dt, 4),
             "single_device_edges_per_s": round(eps_1),
             "scaling_efficiency": round(eps / (eps_1 * n_shards), 3),
             "vs_whole_machine_single": round(eps / eps_1, 3),
-            "note": ("virtual CPU mesh: all shards share ONE host's "
-                     "memory bandwidth and the 1-'device' baseline "
-                     "already uses the whole machine, so per-shard "
-                     "efficiency is structurally pessimistic; "
-                     "vs_whole_machine_single is the sharding overhead "
-                     "(collectives + partition imbalance) on this host"),
+            "note": note,
         }))
+
+        # halo-exchange variant: boundary-only all_to_all, bytes ∝ edge
+        # cut. Two regimes: the uniform power-law graph (worst case — a
+        # random graph has no locality, the cut saturates, halo degrades
+        # gracefully to ~the all-gather volume) and a community-structured
+        # graph with shuffled labels (realistic collab regime — RCM
+        # rediscovers the communities, cut and bytes collapse).
+        from linkpred_tpu.parallel.halo import HaloLayout, spmm_halo
+
+        def bench_halo(gr, tag, xx, eps_base):
+            lay = HaloLayout.build(gr, n_shards)
+            x_new = xx[jnp.asarray(lay.order)]
+            dt_h = bench_chained(
+                lambda x, *ops: spmm_halo(
+                    mesh_all, x, gr.num_nodes, lay.rows_per_shard,
+                    lay.ghost_capacity, *ops), x_new, *lay.operands())
+            eps_h = gr.num_edges / dt_h
+            halo_bytes = lay.collective_bytes_per_layer(args.feats)
+            full_bytes = gr.num_nodes * args.feats * 4
+            print(json.dumps({
+                "metric": f"spmm_halo_{tag}", "shards": n_shards,
+                "edges_per_s": round(eps_h), "seconds": round(dt_h, 4),
+                "single_device_edges_per_s": round(eps_base),
+                "scaling_efficiency": round(eps_h / (eps_base * n_shards), 3),
+                "vs_whole_machine_single": round(eps_h / eps_base, 3),
+                "edge_cut": lay.edge_cut,
+                "directed_edges": gr.num_edges,
+                "ghost_capacity_rows": lay.ghost_capacity,
+                "collective_bytes_per_device_layer": halo_bytes,
+                "full_gather_bytes": full_bytes,
+                "collective_reduction_x": round(full_bytes / halo_bytes, 1),
+                "note": note,
+            }))
+
+        bench_halo(g, "powerlaw", x, eps_1)
+
+        lo_c, hi_c = synth_community_graph(args.nodes, args.edges, seed=0)
+        gc = Graph.from_undirected_edges(lo_c, hi_c, num_nodes=args.nodes)
+        gc = gc.with_degree_cap(args.max_degree,
+                                rng=np.random.default_rng(1), symmetric=True)
+        layout_c = spmm.BucketedEll.from_graph(gc)
+        eps_c1 = gc.num_edges / bench_chained(
+            lambda x, *ops: spmm.spmm_bucketed(x, args.nodes, *ops),
+            x, *layout_c.operands())
+        bench_halo(gc, "community", x, eps_c1)
         return
 
     if args.train_e2e:

@@ -6,11 +6,16 @@ ceiling of 130-160 GB/s — the kernel must at minimum perform that exact
 gather, so the ceiling is its floor time. Candidate explanations and the
 variants that test them:
 
-  A `einsum2d`  — status quo: `x[nb]` (2-D indices) + einsum reduce.
+  A `einsum2d`  — the ORIGINAL `x[nb]` (2-D indices) + einsum reduce,
+                  frozen here after production switched to the flat form.
   B `flat`      — gather with FLAT 1-D indices (`x[nb.ravel()]`) then
                   reshape+einsum: docs/KERNELS.md measured 2-D-operand
                   gathers fast only in the "trailing dims flattened" form;
                   2-D index arrays may take a slower XLA path.
+  S `production`— `spmm.spmm_bucketed` exactly as shipped (currently the
+                  flat form; benched separately so a future production
+                  change keeps the A/B meaningful).
+  V `vpu`       — flat gather + VPU multiply/reduce (no MXU einsum).
   C `cols`      — per-slot-column accumulation: w_b gathers of [n_b] rows
                   each (`x[nb[:, d]]`), multiply-add chain. Every gather is
                   the fastest measured form (2-D operand, 1-D indices) and
@@ -36,6 +41,26 @@ import argparse
 import json
 
 import numpy as np
+
+
+def spmm_bucketed_einsum2d(x, num_nodes, *operands):
+    """Variant A: the ORIGINAL 2-D-index gather form (`x[nb]` with nb
+    [n_b, w_b]) + einsum reduce — frozen here verbatim after
+    `spmm.spmm_bucketed` switched to the flat-index form in production,
+    so the A/B this file exists for stays reproducible (advisor r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    prec = (jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    out = jnp.zeros((num_nodes, x.shape[1]), x.dtype)
+    for i in range(0, len(operands), 3):
+        ids, nb, w = operands[i], operands[i + 1], operands[i + 2]
+        agg = jnp.einsum("nd,ndf->nf", w.astype(x.dtype), x[nb],
+                         precision=prec)
+        out = out.at[ids].set(agg, unique_indices=True,
+                              indices_are_sorted=True)
+    return out
 
 
 def spmm_bucketed_flat(x, num_nodes, *operands):
@@ -115,13 +140,16 @@ def main():
                          "also covered at small scale by tests/test_ops.py; "
                          "the combined 3-variant program is the slowest "
                          "axon remote compile in this file)")
-    ap.add_argument("--variants", default="einsum2d,flat",
-                    help="comma list from einsum2d,flat,cols,pallas_rowdma. "
-                         "NOTE: 'cols' (width-unrolled gather-fma chain) is "
-                         "a recorded NEGATIVE result on the axon toolchain — "
-                         "its remote compile exceeds 7 minutes at width 64 "
-                         "and was never observed to finish inside the 10-min "
-                         "bench window; run it only at small --max-degree")
+    ap.add_argument("--variants", default="production,einsum2d,flat",
+                    help="comma list from production,einsum2d,flat,vpu,cols,"
+                         "pallas_rowdma ('production' = spmm.spmm_bucketed "
+                         "as shipped; 'einsum2d' = the frozen 2-D-index "
+                         "form it replaced). NOTE: 'cols' (width-unrolled "
+                         "gather-fma chain) is a recorded NEGATIVE result "
+                         "on the axon toolchain — its remote compile "
+                         "exceeds 7 minutes at width 64 and was never "
+                         "observed to finish inside the 10-min bench "
+                         "window; run it only at small --max-degree")
     ap.add_argument("--k", type=int, default=40,
                     help="chained iterations per measurement (higher k "
                          "shrinks the dispatch-floor subtraction share)")
@@ -166,33 +194,44 @@ def main():
     def row_gather(x, idx):
         return x[idx]
 
-    if not args.skip_check:
-        # numerics cross-check once (f32) — ON DEVICE, scalar pullback only:
-        # eager per-op dispatch and a [235k, 128] host read over the axon
-        # tunnel take minutes (measured the hard way)
-        @jax.jit
-        def _max_err(x, *o):
-            ref = spmm.spmm_bucketed(x, n, *o)
-            e1 = jnp.abs(spmm_bucketed_flat(x, n, *o) - ref).max()
-            e2 = jnp.abs(spmm_bucketed_cols(x, n, *o) - ref).max()
-            return jnp.maximum(e1, e2)
-
-        err = float(_max_err(x32, *ops))
-        assert err < 1e-3, err
-        note(f"numerics check passed: max |diff| {err:.2e}")
-
     all_variants = {
-        "einsum2d": spmm.spmm_bucketed,
+        "production": spmm.spmm_bucketed,
+        "einsum2d": spmm_bucketed_einsum2d,
         "flat": spmm_bucketed_flat,
         "vpu": spmm_bucketed_vpu,
         "cols": spmm_bucketed_cols,
     }
-    if args.pallas:
+    selected = [v for v in args.variants.split(",") if v]
+    if args.pallas and "pallas_rowdma" not in selected:
+        selected.append("pallas_rowdma")  # --pallas alone must run it
+    if "pallas_rowdma" in selected:
         from linkpred_tpu.ops.pallas_kernels import spmm_rowdma_bucketed
 
         all_variants["pallas_rowdma"] = spmm_rowdma_bucketed
-    variants = {k: v for k, v in all_variants.items()
-                if k in args.variants.split(",")}
+    unknown = [v for v in selected if v not in all_variants]
+    assert not unknown, f"unknown variants {unknown} (pass --pallas?)"
+    variants = {k: all_variants[k] for k in selected}
+
+    if not args.skip_check:
+        # numerics cross-check once (f32) — ON DEVICE, scalar pullback
+        # only: eager per-op dispatch and a [235k, 128] host read over the
+        # axon tunnel take minutes (measured the hard way). Only the
+        # variants actually SELECTED are checked (compiling 'cols' here
+        # used to stall default runs for minutes — advisor r3), always
+        # against the production kernel.
+        check = {k: v for k, v in variants.items() if k != "production"}
+        if check:
+            @jax.jit
+            def _max_err(x, *o):
+                ref = spmm.spmm_bucketed(x, n, *o)
+                errs = [jnp.abs(fn(x, n, *o) - ref).max()
+                        for fn in check.values()]
+                return jnp.stack(errs).max()
+
+            err = float(_max_err(x32, *ops))
+            assert err < 1e-3, err
+            note(f"numerics check passed ({','.join(check)}): "
+                 f"max |diff| {err:.2e}")
 
     for dtype, b, tag in ((jnp.float32, 4, "f32"), (jnp.bfloat16, 2, "bf16")):
         x = x32.astype(dtype)

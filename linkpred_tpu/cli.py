@@ -171,14 +171,109 @@ def _cmd_stats(args):
         print("wrote assets/img/graph_viz.png")
 
 
+def _cmd_report(args):
+    """Static self-contained HTML report — the L5 surface parity artifact
+    for the reference's served pages (`🏠Home.py`, `pages/🛠️Model.py`,
+    `pages/📉Chart.py`): per-family record tables, the best-AUC compare
+    (vs the reference's published numbers), the best TwoWL
+    hyperparameters (`logs.json`), and every PNG artifact inlined as
+    base64 so the single file works anywhere."""
+    import base64
+    import glob
+    import html as html_mod
+    import json
+    import os
+
+    from linkpred_tpu.utils import records
+
+    ref = {"logistic": 0.8075, "seal": 0.8661, "twowl": 0.8947}
+    parts = [
+        "<!doctype html><meta charset='utf-8'>",
+        "<title>linkpred_tpu report</title>",
+        "<style>body{font-family:system-ui,sans-serif;max-width:960px;"
+        "margin:2em auto;padding:0 1em;color:#1a1a1a}"
+        "table{border-collapse:collapse;margin:1em 0}"
+        "td,th{border:1px solid #ccc;padding:.35em .8em;text-align:right}"
+        "th{background:#f2f2f2}td:first-child,th:first-child{text-align:left}"
+        "img{max-width:100%;border:1px solid #eee;margin:.5em 0}"
+        "h2{margin-top:1.6em}</style>",
+        "<h1>linkpred_tpu — link-prediction report</h1>",
+        f"<p>dataset: <b>{html_mod.escape(args.dataset)}</b></p>",
+        "<h2>Best per family (vs reference)</h2>",
+        "<table><tr><th>family</th><th>best AUC</th><th>time (s)</th>"
+        "<th>reference AUC</th><th>Δ</th></tr>",
+    ]
+    for family in ("logistic", "seal", "twowl"):
+        best = records.best_record(args.dataset, family, args.records_dir)
+        if best is None:
+            parts.append(
+                f"<tr><td>{family}</td><td>—</td><td>—</td>"
+                f"<td>{ref[family]:.4f}</td><td>—</td></tr>")
+        else:
+            parts.append(
+                f"<tr><td>{family}</td><td>{best[0]:.4f}</td>"
+                f"<td>{best[1]:.4f}</td><td>{ref[family]:.4f}</td>"
+                f"<td>{best[0] - ref[family]:+.4f}</td></tr>")
+    parts.append("</table>")
+
+    for family in ("logistic", "seal", "twowl"):
+        recs = records.read_records(args.dataset, family, args.records_dir)
+        if not recs:
+            continue
+        parts.append(f"<h2>{family} records</h2><table>"
+                     "<tr><th>#</th><th>AUC</th><th>time (s)</th></tr>")
+        for i, (auc, t) in enumerate(recs):
+            parts.append(f"<tr><td>{i}</td><td>{auc:.4f}</td>"
+                         f"<td>{t:.4f}</td></tr>")
+        parts.append("</table>")
+
+    if os.path.exists("logs.json"):
+        with open("logs.json") as f:
+            best_hp = json.load(f)
+        parts.append("<h2>Best TwoWL hyperparameters</h2><table>")
+        for k, v in best_hp.items():
+            parts.append(f"<tr><td>{html_mod.escape(str(k))}</td>"
+                         f"<td>{html_mod.escape(str(v))}</td></tr>")
+        parts.append("</table>")
+
+    imgs = sorted(glob.glob("assets/img/*.png"))
+    if imgs:
+        parts.append("<h2>Artifacts</h2>")
+        for p in imgs:
+            with open(p, "rb") as f:
+                b64 = base64.b64encode(f.read()).decode()
+            name = html_mod.escape(os.path.basename(p))
+            parts.append(f"<h3>{name}</h3>"
+                         f"<img alt='{name}' "
+                         f"src='data:image/png;base64,{b64}'>")
+    out = args.output
+    with open(out, "w") as f:
+        f.write("\n".join(parts))
+    print(f"wrote {out} ({os.path.getsize(out)} bytes, "
+          f"{len(imgs)} inline images)")
+
+
 def _cmd_scale(args):
     """End-to-end collab-scale training as a user command: `--family gcn`
     (node-sharded GCN over the mesh, `pipelines.gcn_scale` — BASELINE
-    config 5) or `--family seal` (CSR-extraction SEAL on sampled targets,
-    `pipelines.seal_scale` — BASELINE config 4 at scale)."""
+    config 5), `--family seal` (CSR-extraction SEAL on sampled targets,
+    `pipelines.seal_scale` — BASELINE config 4 at scale), or
+    `--family twowl` (capacity-bounded-ei2 LocalWLNet,
+    `pipelines.twowl_scale` — the flagship family beyond fb-pages scale)."""
     import json
 
-    if getattr(args, "family", "gcn") == "seal":
+    if getattr(args, "family", "gcn") == "twowl":
+        from linkpred_tpu.pipelines.twowl_scale import (
+            ScaleTwoWLConfig,
+            run_twowl_scale,
+        )
+
+        res = run_twowl_scale(
+            ScaleTwoWLConfig(nodes=args.nodes, edges=args.edges,
+                             epochs=args.steps, seed=args.seed),
+            verbose=not args.quiet,
+        )
+    elif getattr(args, "family", "gcn") == "seal":
         from linkpred_tpu.pipelines.seal_scale import (
             ScaleSEALConfig,
             run_seal_scale,
@@ -292,10 +387,18 @@ def build_parser() -> argparse.ArgumentParser:
     pst = sub.add_parser("stats", help="dataset statistics + graph viz")
     pst.add_argument("--no-plot", action="store_true")
 
+    pr = sub.add_parser(
+        "report", help="self-contained static HTML report of all results"
+    )
+    pr.add_argument("--dataset", default="fb-pages-food")
+    pr.add_argument("--records-dir", default="records_auc")
+    pr.add_argument("--output", default="report.html")
+
     psc = sub.add_parser(
         "scale", help="end-to-end collab-scale GCN training over the mesh"
     )
-    psc.add_argument("--family", choices=["gcn", "seal"], default="gcn")
+    psc.add_argument("--family", choices=["gcn", "seal", "twowl"],
+                     default="gcn")
     psc.add_argument("--nodes", type=int, default=235_000)
     psc.add_argument("--edges", type=int, default=1_280_000)
     psc.add_argument("--steps", type=int, default=60)
@@ -331,6 +434,7 @@ def main(argv=None):
         "twowl": _cmd_twowl,
         "compare": _cmd_compare,
         "stats": _cmd_stats,
+        "report": _cmd_report,
         "scale": _cmd_scale,
         "node2vec": _cmd_node2vec,
     }[args.cmd]

@@ -89,6 +89,56 @@ def build_ei2(
     return np.stack([a, b], axis=1).astype(np.int32)
 
 
+def build_ei2_capped(
+    num_nodes: int,
+    msg: np.ndarray,
+    pred: np.ndarray,
+    cap_per_node: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """`build_ei2` with a per-node budget: a node whose in(msg) x out(all)
+    cartesian product exceeds `cap_per_node` contributes a uniform random
+    subset of its products instead — the same capacity-bounding move the
+    reference applies to SEAL subgraphs (`SEAL/config/subgraph.py:118-131`,
+    `max_neighbors` random truncation), carried to the 2-WL ei2 structure
+    so LocalWLNet trains on graphs where Σ deg_in·deg_out is intractable.
+    Uncapped nodes emit exactly their `build_ei2` products (same order).
+    """
+    rng = rng or np.random.default_rng(0)
+    msg = np.asarray(msg, dtype=np.int64)
+    allE = np.concatenate([msg, np.asarray(pred, dtype=np.int64)], axis=0)
+
+    in_order = np.argsort(msg[:, 1], kind="stable")
+    in_counts = np.bincount(msg[:, 1], minlength=num_nodes)
+    in_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(in_counts, out=in_ptr[1:])
+
+    out_order = np.argsort(allE[:, 0], kind="stable")
+    out_counts = np.bincount(allE[:, 0], minlength=num_nodes)
+    out_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_ptr[1:])
+
+    counts = in_counts * out_counts
+    kept = np.minimum(counts, cap_per_node)
+    starts = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(kept, out=starts[1:])
+    S = int(starts[-1])
+    if S == 0:
+        return np.zeros((0, 2), dtype=np.int32)
+
+    node = np.repeat(np.arange(num_nodes), kept)
+    prod = np.arange(S, dtype=np.int64) - starts[node]
+    # hubs only: replace the leading-cap product ids by a uniform subset
+    for v in np.flatnonzero(counts > cap_per_node):
+        prod[starts[v]: starts[v] + cap_per_node] = np.sort(
+            rng.choice(counts[v], cap_per_node, replace=False))
+    a_local = prod // np.maximum(out_counts[node], 1)
+    b_local = prod % np.maximum(out_counts[node], 1)
+    a = in_order[in_ptr[node] + a_local]
+    b = out_order[out_ptr[node] + b_local]
+    return np.stack([a, b], axis=1).astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class TwoWLSplit:
     """Static arrays for one split of the 2-WL pipeline.
@@ -182,6 +232,7 @@ def build_twowl_data(
     val_ratio: float = 0.05,
     test_ratio: float = 0.1,
     ei2_bucket: int = 4096,
+    ei2_cap_per_node: int | None = None,
 ) -> TwoWLData:
     """Assemble all three splits from an undirected pair list.
 
@@ -191,6 +242,10 @@ def build_twowl_data(
     ei2 arrays are capacity-padded to `ei2_bucket` multiples so repeated
     dataset rebuilds (the sweep driver's 10% resample) rarely change shapes
     and therefore rarely recompile.
+
+    `ei2_cap_per_node` switches the ei2 build to the capacity-bounded
+    sampler (`build_ei2_capped`) — the scale path for graphs where the
+    full Σ deg_in·deg_out structure is intractable.
     """
     rng = rng or np.random.default_rng(0)
     es = sp.random_split_edges(
@@ -212,7 +267,11 @@ def build_twowl_data(
     pred2 = np.concatenate([test_pos, test_neg], axis=0)
 
     def make(msg, pred, y):
-        ei2 = build_ei2(num_nodes, msg, pred)
+        if ei2_cap_per_node is not None:
+            ei2 = build_ei2_capped(num_nodes, msg, pred, ei2_cap_per_node,
+                                   rng)
+        else:
+            ei2 = build_ei2(num_nodes, msg, pred)
         cap = _round_capacity(len(ei2), ei2_bucket)
         num_rows = len(msg) + len(pred)
         (e1_src, e1_dst, e1_mask), (e2_src, e2_dst, e2_mask) = _pad_and_sort_ei2(

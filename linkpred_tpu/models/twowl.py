@@ -40,6 +40,7 @@ import optax
 
 from linkpred_tpu.ops.segment import (
     SegmentPlan,
+    gather_rows_planned,
     gcn_norm_coefficients,
     segment_sum,
     segment_sum_onehot,
@@ -147,7 +148,7 @@ def graph_norm(p, x, eps: float = 1e-5):
 def gcn_conv(
     p, x, src, dst, num_rows: int, mask=None, sorted_dst: bool = False,
     norm=None, plan=None, ell=None, backend: str = "plan",
-    interpret: bool = False,
+    interpret: bool = False, src_plan=None,
 ):
     """PyG-style GCNConv: h=xW; out[t] = sum_e norm_e h[src_e] (+ self loop).
 
@@ -170,7 +171,12 @@ def gcn_conv(
     coeff, self_coeff = norm if norm is not None else gcn_norm_coefficients(
         src, dst, num_rows, mask, indices_are_sorted=sorted_dst
     )
-    msgs = h[src] * coeff[:, None]
+    # `src_plan` (a SegmentPlan over the source rows) swaps the gather's
+    # scatter-add VJP for the scatter-free planned segment-sum — the 2-WL
+    # backward's dominant cost at scale (ops.segment.gather_rows_planned)
+    hs = (gather_rows_planned(h, src, src_plan) if src_plan
+          else h[src])
+    msgs = hs * coeff[:, None]
     if backend == "pallas" and ell is not None:
         agg = segment_sum_onehot(
             num_rows, msgs, plan[0], ell[0], ell[1], interpret
@@ -202,6 +208,12 @@ class SplitArrays(NamedTuple):
     msg_plan: tuple
     e1_plan: tuple
     e2_plan: tuple
+    # gather-side plans over the 2-WL SOURCE rows (e1_src^1 / e2_src):
+    # `ops.segment.gather_rows_planned` uses them to make the backward of
+    # `e[src]` a planned segment-sum instead of an unsorted scatter over
+    # every ei2 slot — the dominant cost of the 2-WL backward at scale
+    e1_gather_plan: tuple = ()
+    e2_gather_plan: tuple = ()
     # one-hot-MXU regime operands for the 1-WL aggregation
     # (`SegmentPlan.ell_operands`); empty placeholders when the slot count
     # exceeds the VMEM one-hot tile bound (`ops.spmm.ONEHOT_MAX_SLOTS`)
@@ -222,6 +234,12 @@ class SplitArrays(NamedTuple):
             msg_svalid = jnp.zeros((0, 0), bool)
         e1_plan = SegmentPlan.build(s.e1_dst, R).operands()
         e2_plan = SegmentPlan.build(s.e2_dst, R).operands()
+        # gather plans over source rows (pads carry dst=R -> masked out;
+        # clip keeps the forward gather in-bounds, coeff 0 kills the value)
+        e1_gp = SegmentPlan.build(
+            np.where(s.e1_mask, s.e1_src ^ 1, R), R).operands()
+        e2_gp = SegmentPlan.build(
+            np.where(s.e2_mask, s.e2_src, R), R).operands()
         return SplitArrays(
             msg_src=jnp.asarray(s.msg[:, 0]),
             msg_dst=jnp.asarray(s.msg[:, 1]),
@@ -237,6 +255,8 @@ class SplitArrays(NamedTuple):
             msg_plan=msg_plan,
             e1_plan=e1_plan,
             e2_plan=e2_plan,
+            e1_gather_plan=e1_gp,
+            e2_gather_plan=e2_gp,
             msg_slots=msg_slots,
             msg_svalid=msg_svalid,
         )
@@ -333,19 +353,19 @@ def forward(
         plan=arrays.e2_plan,
     )
     for i in range(cfg.depth2):
-        def branch(layer, src, dst, m, norm, plan):
+        def branch(layer, src, dst, m, norm, plan, src_plan):
             h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True,
-                         norm=norm, plan=plan)
+                         norm=norm, plan=plan, src_plan=src_plan)
             h = graph_norm(layer["gn"], h, cfg.eps)
             h = drop(h, r.dp_2wl)
             return jax.nn.relu(h)
 
         e = branch(
             params["conv2"][i], src1, arrays.e1_dst, m1, normA,
-            arrays.e1_plan,
+            arrays.e1_plan, arrays.e1_gather_plan or None,
         ) + branch(
             params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2, normB,
-            arrays.e2_plan,
+            arrays.e2_plan, arrays.e2_gather_plan or None,
         )
 
     sel = e[sel_idx]  # [B, ch2]
@@ -414,7 +434,8 @@ def train_step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "optimizer", "num_nodes", "num_epochs", "eval_every"),
+    static_argnames=("cfg", "optimizer", "num_nodes", "num_epochs",
+                     "eval_every", "early_stop"),
 )
 def train_scan(
     params,
@@ -432,7 +453,8 @@ def train_scan(
     num_epochs: int,
     eval_every: int = 1,
     rates: "DropRates | None" = None,
-    init_best=None,  # optional (best_params, best_auc) from a prior chunk
+    init_best=None,  # (best_params, best_auc[, since_best]) from a chunk
+    early_stop: int | None = None,
 ):
     """Whole training run as ONE on-device `lax.scan`: per epoch, a masked
     train step plus a val-split eval with on-device AUC; the best-val
@@ -446,8 +468,16 @@ def train_scan(
     and thread (params, opt_state, best) through identical-shape chunks
     (one compile, reused).
 
+    `early_stop` makes the stop EPOCH-EXACT inside the scan, matching
+    reference `train.py:86-107` epoch-for-epoch: an `epochs-since-best`
+    counter rides the carry, and once it exceeds `early_stop` a
+    `lax.cond` freezes the remaining epochs into no-ops (the chip skips
+    the train/eval branch entirely, so post-stop epochs cost ~nothing and
+    the chunk loop exits at the next boundary). Frozen epochs log
+    (loss 0, auc -1) history markers.
+
     Returns (final_params, final_opt_state, best_params, best_val_auc,
-    per-epoch (loss, val_auc)).
+    since_best, per-epoch (loss, val_auc)).
     """
     from linkpred_tpu.utils.metrics import roc_auc_jax
 
@@ -456,8 +486,8 @@ def train_scan(
     val_sel = num_msg_v + jnp.arange(num_pred_v, dtype=jnp.int32)
     val_msg_mask = jnp.ones((num_msg_v,), dtype=bool)
 
-    def epoch(carry, inp):
-        params, opt_state, best_params, best_auc, key = carry
+    def active_epoch(carry, inp):
+        params, opt_state, best_params, best_auc, since, key = carry
         epoch_idx, pos_ids, neg_ids = inp
         key, k_step = jax.random.split(key)
         params, opt_state, loss, _, _ = train_step(
@@ -483,18 +513,32 @@ def train_scan(
             lambda new, old: jnp.where(improved, new, old), params, best_params
         )
         best_auc = jnp.where(improved, auc, best_auc)
-        return (params, opt_state, best_params, best_auc, key), (loss, auc)
+        since = jnp.where(improved, 0, since + 1)
+        return (params, opt_state, best_params, best_auc, since, key), (
+            loss, auc)
 
-    best_p0, best_a0 = (
-        init_best if init_best is not None else (params, jnp.float32(0.0))
-    )
-    init = (params, opt_state, best_p0, best_a0, key)
+    def epoch(carry, inp):
+        if early_stop is None:
+            return active_epoch(carry, inp)
+        return jax.lax.cond(
+            carry[4] > early_stop,
+            lambda c, i: (c, (jnp.float32(0.0), jnp.float32(-1.0))),
+            active_epoch,
+            carry, inp,
+        )
+
+    if init_best is None:
+        init_best = (params, jnp.float32(0.0))
+    if len(init_best) == 2:
+        init_best = (*init_best, jnp.int32(0))
+    best_p0, best_a0, since0 = init_best
+    init = (params, opt_state, best_p0, best_a0, jnp.int32(since0), key)
     epoch_ids = jnp.arange(num_epochs, dtype=jnp.int32)
-    (params, opt_state, best_params, best_auc, _), hist = jax.lax.scan(
+    (params, opt_state, best_params, best_auc, since, _), hist = jax.lax.scan(
         epoch, init, (epoch_ids, pos_ids_epochs, neg_ids_epochs),
         length=num_epochs,
     )
-    return params, opt_state, best_params, best_auc, hist
+    return params, opt_state, best_params, best_auc, since, hist
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_nodes"))
@@ -580,10 +624,13 @@ def take_trials(params, idx):
     )
 
 
-def _gcn_conv_trials(p, x, src, coeff, self_coeff, num_rows, plan):
+def _gcn_conv_trials(p, x, src, coeff, self_coeff, num_rows, plan,
+                     src_plan=None):
     """x [R, T, C_in] -> [R', T, C_out]; p leaves carry trial axis 0."""
     h = jnp.einsum("rtc,tcd->rtd", x, p["w"])
-    msgs = take_rows(h, src) * coeff[:, None, None]
+    hs = (gather_rows_planned(h, src, src_plan) if src_plan
+          else take_rows(h, src))
+    msgs = hs * coeff[:, None, None]
     agg = segment_sum_planned(num_rows, msgs, *plan)
     return agg + self_coeff[:, None, None] * h + p["b"][None]
 
@@ -662,17 +709,18 @@ def forward_trials(
         plan=arrays.e2_plan,
     )
     for i in range(cfg.depth2):
-        def branch(layer, src, coeff, selfc, plan):
-            h = _gcn_conv_trials(layer, e, src, coeff, selfc, R, plan)
+        def branch(layer, src, coeff, selfc, plan, src_plan):
+            h = _gcn_conv_trials(layer, e, src, coeff, selfc, R, plan,
+                                 src_plan)
             h = graph_norm(layer["gn"], h, cfg.eps)
             if train:
                 h = drop(h, rates.dp_2wl)
             return jax.nn.relu(h)
 
         e = branch(params["conv2"][i], src1, coeffA, selfA,
-                   arrays.e1_plan) + branch(
+                   arrays.e1_plan, arrays.e1_gather_plan or None) + branch(
             params["conv2r"][i], arrays.e2_src, coeffB, selfB,
-            arrays.e2_plan,
+            arrays.e2_plan, arrays.e2_gather_plan or None,
         )
 
     sel = take_rows(e, sel_idx)  # [B, T, C]

@@ -280,6 +280,42 @@ def _planned_bwd(num_segments, res, g):
 segment_sum_planned.defvjp(_planned_fwd, _planned_bwd)
 
 
+@jax.custom_vjp
+def gather_rows_planned(x, idx, plan):
+    """Row gather `x[idx]` whose BACKWARD is the scatter-free planned
+    segment-sum instead of XLA's default scatter-add.
+
+    The default VJP of a gather is `zeros.at[idx].add(g)` — an unsorted
+    scatter over every slot, which on TPU serializes (~5% of HBM peak,
+    docs/KERNELS.md) and dominates the 2-WL training backward (8.4M edge
+    slots per epoch at collab scale). When `idx` is STATIC (host-known
+    edge structure), pass `plan = SegmentPlan.build(idx, x.shape[0])
+    .operands()`: the cotangent becomes per-row bucket gathers + reduces
+    — pure gathers both directions."""
+    del plan
+    return take_rows(x, idx)
+
+
+def _gather_planned_fwd(x, idx, plan):
+    return take_rows(x, idx), (idx, plan)
+
+
+def _gather_planned_bwd(res, g):
+    idx, plan = res
+    _, inv_perm, slot_buckets = plan
+    dx = _planned_fwd_impl(g, inv_perm, slot_buckets)
+
+    def f0(a):
+        if jnp.issubdtype(a.dtype, jnp.inexact):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    return (dx, f0(idx), jax.tree_util.tree_map(f0, plan))
+
+
+gather_rows_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
+
+
 # ---------------------------------------------------------------------------
 # one-hot-MXU (Pallas) segment sum — the small-slot-count regime
 # ---------------------------------------------------------------------------

@@ -38,6 +38,41 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def _label_prop_clusters(src, dst, n, rounds: int = 15,
+                         seed: int = 0) -> np.ndarray:
+    """Vectorized label propagation: each round, a sampled subset of
+    nodes adopts the most frequent label among its neighbors (ties ->
+    smallest label via the stable sort). Partial asynchronous updates
+    (70%% of nodes per round) avoid the 2-coloring oscillation of fully
+    synchronous propagation. O(E log E) numpy work per round — the host
+    partitioner behind `HaloLayout`'s cluster ordering."""
+    rng = np.random.default_rng(seed)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        key = src * n + labels[dst]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(ks) != 0])
+        counts = np.diff(np.r_[starts, len(ks)])
+        run_src = ks[starts] // n
+        run_lab = ks[starts] % n
+        # per src, the run with the max count (lexsort: last wins)
+        o2 = np.lexsort((counts, run_src))
+        rs = run_src[o2]
+        last = np.r_[np.flatnonzero(np.diff(rs) != 0), len(rs) - 1]
+        best_src = rs[last]
+        best_lab = run_lab[o2][last]
+        upd = rng.random(len(best_src)) < 0.7
+        new_labels = labels.copy()
+        new_labels[best_src[upd]] = best_lab[upd]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
 @dataclasses.dataclass(frozen=True)
 class HaloLayout:
     """Host-built layout for `spmm_halo` (module docstring).
@@ -66,21 +101,55 @@ class HaloLayout:
         return self.n_shards * self.ghost_capacity * feats * dtype_bytes
 
     @staticmethod
-    def build(g, n_shards: int, reorder: bool = True) -> "HaloLayout":
-        """Build from a `data.graph.Graph`. `reorder=False` keeps the
-        input node order (A/B baseline for measuring what RCM buys)."""
+    def build(g, n_shards: int,
+              reorder: bool | str = True) -> "HaloLayout":
+        """Build from a `data.graph.Graph`.
+
+        `reorder` picks the locality ordering:
+        - `True` (default): build BOTH candidate orderings below, score
+          each by the block cut it produces (the quantity halo traffic
+          pays for — cheap to evaluate), keep the winner.
+        - `"cluster"`: label-propagation community detection, nodes
+          ordered cluster-contiguously — the min-cut objective; on
+          community graphs with scrambled labels this rediscovers the
+          blocks.
+        - `"rcm"`: reverse Cuthill-McKee (bandwidth objective — wins on
+          banded/mesh-like graphs, poor at shuffled communities).
+        - `False`: keep input order (A/B baseline).
+        """
         from linkpred_tpu.ops.spmm import BucketedEll
 
         n = g.num_nodes
-        if reorder:
+        rows_guess = -(-n // n_shards)
+
+        def rcm_order():
             import scipy.sparse as sp
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             ones = np.ones(len(g.src), np.int8)
             a = sp.csr_matrix((ones, (g.src, g.dst)), shape=(n, n))
-            order = np.asarray(
+            return np.asarray(
                 reverse_cuthill_mckee(a + a.T, symmetric_mode=True),
                 dtype=np.int64)
+
+        def cluster_order():
+            labels = _label_prop_clusters(g.src, g.dst, n)
+            # cluster-contiguous; at most S-1 clusters straddle a block
+            # boundary, so cut ≈ inter-cluster edges
+            return np.argsort(labels, kind="stable").astype(np.int64)
+
+        def cut_of(order_):
+            inv_ = np.empty(n, np.int64)
+            inv_[order_] = np.arange(n)
+            return int(np.count_nonzero(
+                inv_[g.src] // rows_guess != inv_[g.dst] // rows_guess))
+
+        if reorder == "rcm":
+            order = rcm_order()
+        elif reorder == "cluster":
+            order = cluster_order()
+        elif reorder:
+            order = min((cluster_order(), rcm_order()), key=cut_of)
         else:
             order = np.arange(n, dtype=np.int64)
         inv = np.empty(n, dtype=np.int64)

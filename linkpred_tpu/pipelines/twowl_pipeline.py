@@ -150,15 +150,14 @@ def train_routine_fused(
     on-device `lax.scan` (`models.twowl.train_scan`) with on-device val AUC
     and best-val parameter tracking — zero host round-trips per epoch.
 
-    Early stop is preserved at CHUNK resolution (the scan is already
-    chunked at `run.chunk_epochs` for the 60 s device-program limit): if
-    the best val AUC has not improved for more than `run.early_stop`
-    epochs — counting conservatively from the END of the chunk that last
-    improved it — training stops before the next chunk. This matches the
-    reference contract (`train.py:86-107`) to within one chunk of extra
-    epochs; documented in docs/DESIGN.md deviations. The test split is
-    scored once at the end with the best parameters (eval shape warmed
-    before timing so the recorded Time is a warm eval)."""
+    Early stop is EPOCH-EXACT: the scan carries an epochs-since-best
+    counter and freezes every epoch after it exceeds `run.early_stop`
+    into a no-op `lax.cond` branch (`models.twowl.train_scan`), matching
+    the reference contract (`train.py:86-107`) epoch-for-epoch; the
+    chunk loop (60 s device-program limit) exits at the first boundary
+    where the counter reports stopped. The test split is scored once at
+    the end with the best parameters (eval shape warmed before timing so
+    the recorded Time is a warm eval)."""
     key = key if key is not None else jax.random.PRNGKey(run.seed)
     key, k_init = jax.random.split(key)
     params = m.init_params(k_init, cfg)
@@ -186,38 +185,35 @@ def train_routine_fused(
     chunk = min(E, run.chunk_epochs)
     # explicit initial best: passing None for the first chunk and a tuple
     # after changes the arg pytree structure and forces a second compile
-    best = (params, jnp.float32(0.0))
+    best = (params, jnp.float32(0.0), jnp.int32(0))
     hists = []
     val_y = jnp.asarray(data.val.y)
     node_deg = jnp.asarray(data.node_deg)
-    last_improve_end = 0  # end-epoch of the last chunk that improved best
-    prev_best = float(best[1])
     for start in range(0, E, chunk):
         stop = min(start + chunk, E)
         key, k_scan = jax.random.split(key)
-        params, opt_state, best_p, best_a, h = m.train_scan(
+        params, opt_state, best_p, best_a, since, h = m.train_scan(
             params, opt_state, k_scan,
             jnp.asarray(pos_ids[start:stop]), jnp.asarray(neg_ids[start:stop]),
             trn, val, val_y, node_deg,
             cfg, optimizer, data.num_nodes, stop - start,
-            init_best=best,
+            init_best=best, early_stop=run.early_stop,
         )
-        best = (best_p, best_a)
+        best = (best_p, best_a, since)
         hists.append(h)
-        cur_best = float(best_a)
-        if cur_best > prev_best:
-            prev_best, last_improve_end = cur_best, stop
         if verbose:
             loss_c = float(jnp.mean(h[0]))
             val_c = float(h[1][-1])
             print(f"  epochs {start:4d}-{stop:<4d} loss {loss_c:.4f} "
-                  f"val {val_c:.4f} best {cur_best:.4f}", flush=True)
-        if stop - last_improve_end > run.early_stop:
+                  f"val {val_c:.4f} best {float(best_a):.4f}", flush=True)
+        if int(since) > run.early_stop:
             if verbose:
-                print(f"  early stop at epoch {stop} "
+                stopped_at = stop - (int(since) - run.early_stop - 1)
+                print(f"  early stop at epoch {stopped_at} "
                       f"(no val improvement in > {run.early_stop} epochs)",
                       flush=True)
             break
+    best = best[:2]
     best_params, best_auc = best
     hist = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *hists

@@ -50,9 +50,10 @@ class TestHaloSpmm:
         ref = _dense_ref(g, x_old)[layout.order]
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
-    def test_rcm_shrinks_halo(self, rng):
-        """RCM ordering must reduce the exchange capacity on a graph with
-        locality (ring-of-cliques); random order destroys it."""
+    def test_locality_ordering_shrinks_halo_banded(self, rng):
+        """Auto ordering must collapse the exchange on a banded graph
+        (ring of chained blocks — the RCM-favoring regime) despite
+        scrambled input labels."""
         blocks, bs = 16, 25
         pairs = []
         for b in range(blocks):
@@ -66,12 +67,27 @@ class TestHaloSpmm:
         perm = rng.permutation(n)  # scramble labels
         g = Graph.from_undirected_edges(
             perm[pairs[:, 0]], perm[pairs[:, 1]], num_nodes=n)
-        lay_rcm = HaloLayout.build(g, 8, reorder=True)
+        lay = HaloLayout.build(g, 8, reorder=True)
         lay_raw = HaloLayout.build(g, 8, reorder=False)
-        assert lay_rcm.ghost_capacity * 3 < lay_raw.ghost_capacity, (
-            lay_rcm.ghost_capacity, lay_raw.ghost_capacity)
+        assert lay.ghost_capacity * 3 < lay_raw.ghost_capacity, (
+            lay.ghost_capacity, lay_raw.ghost_capacity)
         # capacity (hence collective bytes) must be a small fraction of N
-        assert lay_rcm.ghost_capacity < n // 8
+        assert lay.ghost_capacity < n // 8
+
+    def test_locality_ordering_shrinks_halo_community(self):
+        """Auto ordering must rediscover shuffled communities (the
+        label-prop-favoring regime) and cut halo traffic accordingly."""
+        from benchmarks.scaling import synth_community_graph
+
+        n = 8000
+        lo, hi = synth_community_graph(n, 32000, n_comm=32, seed=3)
+        g = Graph.from_undirected_edges(lo, hi, num_nodes=n)
+        lay = HaloLayout.build(g, 8, reorder=True)
+        lay_raw = HaloLayout.build(g, 8, reorder=False)
+        assert lay.edge_cut * 2 < lay_raw.edge_cut, (
+            lay.edge_cut, lay_raw.edge_cut)
+        assert lay.ghost_capacity * 2 < lay_raw.ghost_capacity, (
+            lay.ghost_capacity, lay_raw.ghost_capacity)
 
     def test_sym_vjp_matches_autodiff(self, rng):
         g = _rand_sym_graph(rng, n=200, e=700)

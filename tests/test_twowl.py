@@ -250,6 +250,57 @@ class TestFusedScan:
         )
         assert 0.0 <= res["test_auc"] <= 1.0
 
+    def test_train_scan_epoch_exact_early_stop(self, toy_data):
+        """The in-scan early stop must freeze training at EXACTLY
+        `early_stop` non-improving epochs (reference train.py:86-107
+        epoch-for-epoch): frozen epochs emit the (0, -1) history marker
+        and never change the best."""
+        import jax
+        import optax
+
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1,
+                            dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0, dp_2wl=0.0,
+                            learning_rate=0.02)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        optimizer = optax.adam(cfg.learning_rate)
+        opt_state = optimizer.init(params)
+        trn = m.SplitArrays.from_split(d.train)
+        val = m.SplitArrays.from_split(d.val)
+        P = min(len(d.val.y), d.train.num_msg // 2, len(d.train.pred) // 2)
+        rng = np.random.default_rng(0)
+        E, STOP = 40, 3
+        pos = np.stack([rng.permutation(d.train.num_msg // 2)[:P]
+                        for _ in range(E)]).astype(np.int32)
+        neg = np.stack([rng.permutation(len(d.train.pred) // 2)[:P]
+                        for _ in range(E)]).astype(np.int32)
+        args = (jax.random.PRNGKey(1), jnp.asarray(pos), jnp.asarray(neg),
+                trn, val, jnp.asarray(d.val.y), jnp.asarray(d.node_deg),
+                cfg, optimizer, d.num_nodes, E)
+        *_, since_free, hist_free = m.train_scan(
+            params, opt_state, *args, early_stop=None)
+        *_, since, hist = m.train_scan(
+            params, opt_state, *args, early_stop=STOP)
+        aucs_free = np.asarray(hist_free[1])
+        aucs = np.asarray(hist[1])
+        # reproduce the stop epoch from the unrestricted history
+        best, run = -1.0, 0
+        stop_at = E
+        for i, a in enumerate(aucs_free):
+            if a > best:
+                best, run = a, 0
+            else:
+                run += 1
+            if run > STOP:
+                stop_at = i + 1
+                break
+        # identical up to the stop, frozen markers after it
+        np.testing.assert_allclose(aucs[:stop_at], aucs_free[:stop_at],
+                                   rtol=1e-6)
+        assert (aucs[stop_at:] == -1.0).all(), aucs[stop_at:]
+        assert int(since) > STOP
+
 
 class TestVmappedRefine:
     def test_refine_runs_and_selects(self, toy_data):
@@ -381,3 +432,86 @@ class TestSuccessiveHalving:
         assert out["configs_inspected"] == 8
         assert len(out["survivors"]) == 2
         assert 0.4 < out["test_auc"] <= 1.0
+
+
+class TestEi2Capped:
+    def test_uncapped_nodes_identical(self, rng):
+        """With a cap no node exceeds, build_ei2_capped == build_ei2."""
+        from linkpred_tpu.data.twowl import build_ei2, build_ei2_capped
+
+        msg = np.stack([rng.integers(0, 20, 60), rng.integers(0, 20, 60)], 1)
+        pred = np.stack([rng.integers(0, 20, 30), rng.integers(0, 20, 30)], 1)
+        full = build_ei2(20, msg, pred)
+        capped = build_ei2_capped(20, msg, pred, cap_per_node=10_000, rng=rng)
+        np.testing.assert_array_equal(full, capped)
+
+    def test_cap_bounds_and_valid_subset(self, rng):
+        """Capped output: per-node count == min(full, cap); every emitted
+        (a, b) column exists in the full structure; no duplicates."""
+        from linkpred_tpu.data.twowl import build_ei2, build_ei2_capped
+
+        msg = np.stack([rng.integers(0, 10, 200), rng.integers(0, 10, 200)], 1)
+        pred = np.stack([rng.integers(0, 10, 50), rng.integers(0, 10, 50)], 1)
+        cap = 16
+        full = build_ei2(10, msg, pred)
+        capped = build_ei2_capped(10, msg, pred, cap_per_node=cap, rng=rng)
+        # column (a, b) shares node dst(a); group by that node
+        node_full = msg[full[:, 0], 1]
+        node_capped = msg[capped[:, 0], 1]
+        cf = np.bincount(node_full, minlength=10)
+        cc = np.bincount(node_capped, minlength=10)
+        np.testing.assert_array_equal(cc, np.minimum(cf, cap))
+        full_set = {tuple(r) for r in full.tolist()}
+        rows = [tuple(r) for r in capped.tolist()]
+        assert set(rows) <= full_set
+        assert len(rows) == len(set(rows))  # truncation w/o replacement
+
+
+class TestTwoWLScale:
+    def test_scale_pipeline_toy(self):
+        """Capacity-bounded LocalWLNet end-to-end at toy size: loss falls,
+        AUC beats chance (the CI guard for `cli scale --family twowl`)."""
+        from linkpred_tpu.pipelines.twowl_scale import (
+            ScaleTwoWLConfig,
+            run_twowl_scale,
+        )
+
+        out = run_twowl_scale(
+            ScaleTwoWLConfig(nodes=1200, edges=5000, epochs=40,
+                             chunk_epochs=20, max_degree=12,
+                             ei2_cap_per_node=48, val_ratio=0.05,
+                             test_ratio=0.1),
+            verbose=False,
+        )
+        assert out["loss_decreased"], out
+        assert out["test_auc"] > 0.55, out
+        assert out["ei2_columns"] <= 48 * 1200 + 4096
+
+
+class TestPlannedGatherVJP:
+    def test_grads_match_default_vjp(self, toy_data):
+        """The planned-gather backward (scatter-free) must equal the
+        default scatter-add VJP bit-for-bit in f32 tolerance."""
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=2,
+                            dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0, dp_2wl=0.0)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        arrays = m.SplitArrays.from_split(d.train)
+        arrays_noplan = arrays._replace(e1_gather_plan=(),
+                                        e2_gather_plan=())
+        msg_mask = jnp.ones((d.train.num_msg,), bool)
+        sel = jnp.arange(8, dtype=jnp.int32)
+        deg = jnp.asarray(d.node_deg)
+
+        def loss(p, a):
+            return jnp.sum(
+                m.forward(p, cfg, deg, a, msg_mask, sel, None) ** 2)
+
+        la, ga = jax.value_and_grad(loss)(params, arrays)
+        lb, gb = jax.value_and_grad(loss)(params, arrays_noplan)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+        for ka, kb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                       rtol=1e-4, atol=1e-5)
