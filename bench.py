@@ -373,7 +373,7 @@ def gate_twowl_scale():
         run_twowl_scale,
     )
 
-    res = run_twowl_scale(ScaleTwoWLConfig(), verbose=False)
+    res = run_twowl_scale(ScaleTwoWLConfig(epochs=40), verbose=False)
     if not res["loss_decreased"]:
         raise RuntimeError(f"twowl scale DIVERGED: {json.dumps(res)}")
     return res
@@ -452,15 +452,15 @@ def main():
         # already in the artifact); unfinished gates record a 'skipped'
         # marker instead of truncating stdout
         deadline = time.perf_counter() + float(
-            os.environ.get("BENCH_GATE_BUDGET_S", "420"))
+            os.environ.get("BENCH_GATE_BUDGET_S", "480"))
         g = collab_graph()
         _gate(gates, "spmm_single_chip", lambda: gate_spmm(g), deadline)
         _gate(gates, "collab_e2e_training", gate_collab_e2e, deadline)
         _gate(gates, "collab_seal", gate_collab_seal, deadline)
-        _gate(gates, "sgns", gate_sgns, deadline)
-        _gate(gates, "twowl_scale", gate_twowl_scale, deadline)
         _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
               deadline)
+        _gate(gates, "sgns", gate_sgns, deadline)
+        _gate(gates, "twowl_scale", gate_twowl_scale, deadline)
         _gate(gates, "walks", lambda: gate_walks(g), deadline)
         _gate(gates, "seal_step", gate_seal, deadline)
         _gate(gates, "node_sharded_mesh", lambda: gate_node_sharded(g),

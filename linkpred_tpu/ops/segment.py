@@ -250,13 +250,18 @@ def segment_sum_planned(num_segments: int, msgs, dst, inv_perm, slot_buckets):
 
 def _planned_fwd_impl(msgs, inv_perm, slot_buckets):
     # all gathers in flattened-2-D form (see take_rows): TPU serializes
-    # gathers with >1 trailing dim
+    # gathers with >1 trailing dim. Indices are flattened too — the
+    # 1-D-index gather is XLA-on-TPU's fastest path (2-D index arrays
+    # measured 2-5% slower at collab scale, benchmarks/spmm_variants.py)
     tail = msgs.shape[1:]
     flat = msgs.reshape(msgs.shape[0], -1)
     ext = jnp.concatenate(
         [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
     )
-    parts = [ext[b].sum(axis=1) for b in slot_buckets]
+    parts = [
+        ext[b.reshape(-1)].reshape(*b.shape, -1).sum(axis=1)
+        for b in slot_buckets
+    ]
     parts.append(jnp.zeros((1, flat.shape[1]), flat.dtype))
     out = jnp.concatenate(parts, axis=0)[inv_perm]
     return out.reshape((out.shape[0],) + tail)
