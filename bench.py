@@ -350,7 +350,7 @@ def gate_seal(num_nodes=235_000):
 def gate_collab_e2e():
     from linkpred_tpu.pipelines.gcn_scale import ScaleGCNConfig, train_collab
 
-    out = train_collab(ScaleGCNConfig(steps=30), verbose=False)
+    out = train_collab(ScaleGCNConfig(steps=60), verbose=False)
     res = {k: out[k] for k in (
         "nodes", "directed_edges", "shards", "loss_first_quarter",
         "loss_last_quarter", "loss_decreased", "test_auc", "steps_per_s",
