@@ -252,6 +252,25 @@ def _cmd_report(args):
     print(f"wrote {out} ({os.path.getsize(out)} bytes, "
           f"{len(imgs)} inline images)")
 
+    if getattr(args, "serve", 0):
+        # served-dashboard parity with the reference's Streamlit pages:
+        # the report is static, so plain stdlib HTTP is the whole server
+        import functools
+        import http.server
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler,
+            directory=os.path.dirname(os.path.abspath(out)) or ".",
+        )
+        with http.server.ThreadingHTTPServer(("", args.serve),
+                                             handler) as srv:
+            print(f"serving http://localhost:{args.serve}/"
+                  f"{os.path.basename(out)} (Ctrl-C to stop)")
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
+
 
 def _cmd_scale(args):
     """End-to-end collab-scale training as a user command: `--family gcn`
@@ -393,6 +412,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--dataset", default="fb-pages-food")
     pr.add_argument("--records-dir", default="records_auc")
     pr.add_argument("--output", default="report.html")
+    pr.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="after writing, serve the report over HTTP")
 
     psc = sub.add_parser(
         "scale", help="end-to-end collab-scale GCN training over the mesh"

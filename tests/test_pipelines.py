@@ -133,3 +133,30 @@ class TestScaleCLI:
                   "--edges", "1600", "--hop", "1"])
         out = capsys.readouterr().out
         assert '"test_auc"' in out
+
+    def test_scale_family_twowl_parses_and_runs(self, capsys):
+        from linkpred_tpu import cli
+
+        cli.main(["--quiet", "scale", "--family", "twowl", "--nodes", "1200",
+                  "--edges", "5000", "--steps", "20"])
+        out = capsys.readouterr().out
+        assert '"test_auc"' in out
+        assert '"ei2_cap_per_node"' in out
+
+
+class TestReportCLI:
+    def test_report_writes_selfcontained_html(self, tmp_path, capsys):
+        """`cli report` (the L5 static-surface parity artifact) must emit
+        one self-contained HTML file with the per-family tables and the
+        reference-comparison deltas."""
+        from linkpred_tpu import cli
+
+        out_file = tmp_path / "report.html"
+        cli.main(["report", "--output", str(out_file)])
+        html = out_file.read_text()
+        assert "<h1>linkpred_tpu" in html
+        for family in ("logistic", "seal", "twowl"):
+            assert family in html
+        assert "0.8947" in html  # reference TwoWL AUC column
+        # images inlined, not referenced
+        assert "src='data:image/png;base64," in html or "Artifacts" not in html
