@@ -460,9 +460,9 @@ def main():
         _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
               deadline)
         _gate(gates, "sgns", gate_sgns, deadline)
-        _gate(gates, "twowl_scale", gate_twowl_scale, deadline)
         _gate(gates, "walks", lambda: gate_walks(g), deadline)
         _gate(gates, "seal_step", gate_seal, deadline)
+        _gate(gates, "twowl_scale", gate_twowl_scale, deadline)
         _gate(gates, "node_sharded_mesh", lambda: gate_node_sharded(g),
               deadline)
 

@@ -138,13 +138,14 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
         train_pos = remap[train_pos]
         test_pos = remap[test_pos]
         test_neg = remap[test_neg]
-        halo_ops = lay.operands()
+        # pass the layout arrays as jit ARGUMENTS (closure capture would
+        # bake them into the program as constants and ship them with
+        # every remote-compile request — docs/KERNELS.md methodology)
+        stacked_j = lay.operands()
 
-        def spmm_sym(x, _stacked):
+        def spmm_sym(x, stacked_):
             return spmm_halo_sym(mesh, x, cfg.nodes, lay.rows_per_shard,
-                                 lay.ghost_capacity, halo_ops)
-
-        stacked_j = ()
+                                 lay.ghost_capacity, tuple(stacked_))
     elif n_shards == 1:
         # single chip: skip the shard_map wrapper entirely — the plain
         # bucketed kernel with the symmetric VJP is ~5% faster per
