@@ -52,7 +52,7 @@ def _gate(gates: dict, name: str, fn, deadline: float):
 _VERBOSE_KEYS = ("note", "gensim_cited_words_per_s", "host_measured_kind",
                  "actual_gb_s", "gather_rows_per_s",
                  "kernel_slot_rows_per_s", "gather_roofline_gb_s",
-                 "full_gather_bytes", "platform", "build_seconds")
+                 "full_gather_bytes", "build_seconds")
 
 
 def _compact(obj):

@@ -262,7 +262,7 @@ def _cmd_report(args):
             http.server.SimpleHTTPRequestHandler,
             directory=os.path.dirname(os.path.abspath(out)) or ".",
         )
-        with http.server.ThreadingHTTPServer(("", args.serve),
+        with http.server.ThreadingHTTPServer(("127.0.0.1", args.serve),
                                              handler) as srv:
             print(f"serving http://localhost:{args.serve}/"
                   f"{os.path.basename(out)} (Ctrl-C to stop)")
@@ -281,6 +281,14 @@ def _cmd_scale(args):
     `pipelines.twowl_scale` — the flagship family beyond fb-pages scale)."""
     import json
 
+    def overrides(**extra):
+        # only user-provided values override the pipeline's own defaults
+        out = {k: v for k, v in (("nodes", args.nodes),
+                                 ("edges", args.edges)) if v is not None}
+        out.update({k: v for k, v in extra.items() if v is not None})
+        out["seed"] = args.seed
+        return out
+
     if getattr(args, "family", "gcn") == "twowl":
         from linkpred_tpu.pipelines.twowl_scale import (
             ScaleTwoWLConfig,
@@ -288,8 +296,7 @@ def _cmd_scale(args):
         )
 
         res = run_twowl_scale(
-            ScaleTwoWLConfig(nodes=args.nodes, edges=args.edges,
-                             epochs=args.steps, seed=args.seed),
+            ScaleTwoWLConfig(**overrides(epochs=args.steps)),
             verbose=not args.quiet,
         )
     elif getattr(args, "family", "gcn") == "seal":
@@ -299,8 +306,7 @@ def _cmd_scale(args):
         )
 
         res = run_seal_scale(
-            ScaleSEALConfig(nodes=args.nodes, edges=args.edges,
-                            hop=args.hop, seed=args.seed),
+            ScaleSEALConfig(**overrides(hop=args.hop)),
             verbose=not args.quiet,
         )
     else:
@@ -310,10 +316,7 @@ def _cmd_scale(args):
         )
 
         res = train_collab(
-            ScaleGCNConfig(
-                nodes=args.nodes, edges=args.edges, steps=args.steps,
-                dtype=args.dtype, seed=args.seed,
-            ),
+            ScaleGCNConfig(**overrides(steps=args.steps, dtype=args.dtype)),
             verbose=not args.quiet,
         )
     print(json.dumps(res))
@@ -420,9 +423,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     psc.add_argument("--family", choices=["gcn", "seal", "twowl"],
                      default="gcn")
-    psc.add_argument("--nodes", type=int, default=235_000)
-    psc.add_argument("--edges", type=int, default=1_280_000)
-    psc.add_argument("--steps", type=int, default=60)
+    # None -> per-family pipeline defaults (twowl's capacity-bounded ei2
+    # is designed for 50k/250k; gcn/seal run the 235k collab config)
+    psc.add_argument("--nodes", type=int, default=None)
+    psc.add_argument("--edges", type=int, default=None)
+    psc.add_argument("--steps", type=int, default=None)
     psc.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     psc.add_argument("--hop", type=int, default=2,
                      help="SEAL family: enclosing-subgraph hop count")

@@ -520,12 +520,15 @@ def train_scan(
     def epoch(carry, inp):
         if early_stop is None:
             return active_epoch(carry, inp)
+        def frozen(c, i):
+            # keep incrementing since-best so callers can recover the
+            # exact stop epoch (stop - (since - early_stop - 1)) after a
+            # chunk ends; everything else is untouched
+            c = (*c[:4], c[4] + 1, c[5])
+            return c, (jnp.float32(0.0), jnp.float32(-1.0))
+
         return jax.lax.cond(
-            carry[4] > early_stop,
-            lambda c, i: (c, (jnp.float32(0.0), jnp.float32(-1.0))),
-            active_epoch,
-            carry, inp,
-        )
+            carry[4] > early_stop, frozen, active_epoch, carry, inp)
 
     if init_best is None:
         init_best = (params, jnp.float32(0.0))

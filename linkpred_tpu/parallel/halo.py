@@ -299,12 +299,18 @@ def spmm_halo_sym(mesh, x, num_nodes, rows_per_shard, ghost_capacity, ops,
                          axis=axis_)
 
     def fwd(x, num_nodes_, rows_, cap_, axis_, ops_):
-        return run(x, num_nodes_, rows_, cap_, axis_, ops_), ops_
+        # zero-width sentinel carries the PRIMAL row count as a static
+        # shape (a Python int in residuals would get traced)
+        shape_tag = jnp.zeros((x.shape[0], 0), x.dtype)
+        return run(x, num_nodes_, rows_, cap_, axis_, ops_), (
+            ops_, shape_tag)
 
-    def bwd(num_nodes_, rows_, cap_, axis_, ops_, g):
+    def bwd(num_nodes_, rows_, cap_, axis_, res, g):
+        ops_, shape_tag = res
+        x_rows = shape_tag.shape[0]
         dx = spmm_halo(mesh, g, num_nodes_, rows_, cap_, *ops_, axis=axis_)
-        if dx.shape[0] < g.shape[0]:  # mirror forward's input padding
-            dx = jnp.pad(dx, ((0, g.shape[0] - dx.shape[0]), (0, 0)))
+        if dx.shape[0] < x_rows:  # mirror the PRIMAL input's padding
+            dx = jnp.pad(dx, ((0, x_rows - dx.shape[0]), (0, 0)))
         zeros = tuple(
             np.zeros(a.shape, jax.dtypes.float0)
             if not jnp.issubdtype(a.dtype, jnp.inexact) else jnp.zeros_like(a)

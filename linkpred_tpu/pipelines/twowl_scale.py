@@ -122,7 +122,10 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
     # positives from the message graph (leakage prevention), so a batch
     # comparable to the edge count would train on a near-empty graph
     P = max(1, min(base, n_pos_pairs // 8, n_neg_pairs))
-    E = cfg.epochs
+    # round DOWN to whole chunks: a ragged final chunk changes the scan
+    # length and recompiles the whole 2-WL program inside the timed span
+    E = max(cfg.chunk_epochs,
+            (cfg.epochs // cfg.chunk_epochs) * cfg.chunk_epochs)
     rng = np.random.default_rng(cfg.seed)
     pos_ids = np.stack([
         rng.permutation(n_pos_pairs)[:P] for _ in range(E)

@@ -456,7 +456,10 @@ int64_t sgns_train_ref(const int32_t* walks, int64_t n_walks,
                 target = w;
                 label = 1.0f;
               } else {
-                target = table[next_rand() % table_size];
+                // word2vec.c indexes the table with (next_random >> 16):
+                // the low bits of a power-of-two-modulus LCG are strongly
+                // serially correlated (bit k has period 2^(k+1))
+                target = table[(next_rand() >> 16) % table_size];
                 if (target == w) continue;
                 label = 0.0f;
               }

@@ -89,6 +89,29 @@ class TestHaloSpmm:
         assert lay.ghost_capacity * 2 < lay_raw.ghost_capacity, (
             lay.ghost_capacity, lay_raw.ghost_capacity)
 
+    def test_sym_vjp_padded_input_shape(self, rng):
+        """Gradient of spmm_halo_sym on a PRE-PADDED [rows*S, F] input must
+        come back [rows*S, F] (round-4 review: the pad guard compared
+        against the cotangent's rows and silently returned [num_nodes, F])."""
+        g = _rand_sym_graph(rng, n=10, e=30)
+        mesh = make_mesh(shape=(1, 8))
+        layout = HaloLayout.build(g, 8)
+        pad_total = layout.rows_per_shard * 8
+        assert pad_total > g.num_nodes
+        x = jnp.asarray(
+            rng.standard_normal((pad_total, 4)).astype(np.float32))
+
+        def loss(x):
+            return jnp.sum(spmm_halo_sym(
+                mesh, x, g.num_nodes, layout.rows_per_shard,
+                layout.ghost_capacity, layout.operands()) ** 2)
+
+        gx = jax.grad(loss)(x)
+        assert gx.shape == x.shape, (gx.shape, x.shape)
+        # padded rows carry zero gradient
+        np.testing.assert_allclose(
+            np.asarray(gx[g.num_nodes:]), 0.0, atol=1e-7)
+
     def test_sym_vjp_matches_autodiff(self, rng):
         g = _rand_sym_graph(rng, n=200, e=700)
         mesh = make_mesh(shape=(1, 8))
