@@ -31,6 +31,31 @@ def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(idx.shape + tail)
 
 
+def take_rows_fat(x: jnp.ndarray, idx: jnp.ndarray,
+                  pack: int | None = None) -> jnp.ndarray:
+    """Row gather for NARROW rows: fetch `pack` consecutive rows as one
+    fat (>=128-lane) row and select the target in-register.
+
+    Motivation (docs/KERNELS.md, narrow-row finding): TPU gathers move
+    whole vector transactions; a row of F < 128 lanes wastes most of each
+    one. `[R, F]` reshaped to `[R/pack, pack*F]` is layout-free
+    (row-major contiguity), the fat gather fetches `idx // pack`, and a
+    one-hot contraction over the pack axis selects row `idx % pack`.
+    Exactly equal to `x[idx]`; candidate drop-in for the 2-WL plan
+    gathers once A/B'd on-chip (not yet wired into production paths).
+    """
+    n, f = x.shape
+    if pack is None:
+        pack = max(1, 128 // max(f, 1))
+    if pack <= 1 or n < pack:
+        return x[idx]
+    npad = -(-n // pack) * pack
+    xp = x if npad == n else jnp.pad(x, ((0, npad - n), (0, 0)))
+    fat = xp.reshape(npad // pack, pack * f)[idx // pack]
+    oh = jax.nn.one_hot(idx % pack, pack, dtype=x.dtype)
+    return jnp.einsum("sp,spf->sf", oh, fat.reshape(idx.shape[0], pack, f))
+
+
 def segment_sum(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,

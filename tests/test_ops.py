@@ -211,3 +211,29 @@ def test_choose_backend_1wl_rule():
     assert spmm.choose_backend_1wl(620, 3556, platform="tpu") == "pallas"
     assert spmm.choose_backend_1wl(7112, 81920, platform="tpu") == "plan"
     assert spmm.choose_backend_1wl(620, 3556, platform="cpu") == "plan"
+
+
+class TestTakeRowsFat:
+    def test_equals_plain_gather(self, rng):
+        """Fat-row gather == x[idx] for every pack/shape combination."""
+        import jax.numpy as jnp
+
+        from linkpred_tpu.ops.segment import take_rows_fat
+
+        for n, f in ((100, 16), (97, 16), (64, 8), (50, 200)):
+            x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+            idx = jnp.asarray(rng.integers(0, n, 333).astype(np.int32))
+            got = np.asarray(take_rows_fat(x, idx))
+            np.testing.assert_allclose(got, np.asarray(x)[np.asarray(idx)],
+                                       rtol=1e-6)
+
+    def test_explicit_pack(self, rng):
+        import jax.numpy as jnp
+
+        from linkpred_tpu.ops.segment import take_rows_fat
+
+        x = jnp.asarray(rng.standard_normal((41, 4)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 41, 77).astype(np.int32))
+        got = np.asarray(take_rows_fat(x, idx, pack=16))
+        np.testing.assert_allclose(got, np.asarray(x)[np.asarray(idx)],
+                                   rtol=1e-6)
