@@ -38,22 +38,30 @@ def take_rows_fat(x: jnp.ndarray, idx: jnp.ndarray,
 
     Motivation (docs/KERNELS.md, narrow-row finding): TPU gathers move
     whole vector transactions; a row of F < 128 lanes wastes most of each
-    one. `[R, F]` reshaped to `[R/pack, pack*F]` is layout-free
-    (row-major contiguity), the fat gather fetches `idx // pack`, and a
-    one-hot contraction over the pack axis selects row `idx % pack`.
-    Exactly equal to `x[idx]`; candidate drop-in for the 2-WL plan
-    gathers once A/B'd on-chip (not yet wired into production paths).
+    one — measured 3.7x at the 2-WL shape (2.2M x 64 B rows: 42 -> 155M
+    rows/s). `[R, F]` reshaped to `[R/pack, pack*F]` is layout-free
+    (row-major contiguity), the fat gather fetches `idx // pack`, and the
+    target sub-row is selected by `pack` masked 2-D accumulations.
+    STRICTLY 2-D intermediates throughout: a one-hot einsum over a
+    [s, pack, F] (or 4-D) tensor tile-pads the small trailing dims 8-16x
+    and OOM'd the 50k-node 2-WL compile (21 GB HBM for a 1.7 GB tensor).
+    Exactly equal to `x[idx]`.
     """
     n, f = x.shape
     if pack is None:
-        pack = max(1, 128 // max(f, 1))
+        # cap the unrolled select at 16 slices; >=128 lanes when f allows
+        pack = max(1, min(128 // max(f, 1), 16))
     if pack <= 1 or n < pack:
         return x[idx]
     npad = -(-n // pack) * pack
     xp = x if npad == n else jnp.pad(x, ((0, npad - n), (0, 0)))
-    fat = xp.reshape(npad // pack, pack * f)[idx // pack]
-    oh = jax.nn.one_hot(idx % pack, pack, dtype=x.dtype)
-    return jnp.einsum("sp,spf->sf", oh, fat.reshape(idx.shape[0], pack, f))
+    fat = xp.reshape(npad // pack, pack * f)[idx // pack]  # [s, pack*f]
+    sel = idx % pack
+    out = jnp.zeros((idx.shape[0], f), x.dtype)
+    for p in range(pack):
+        m = (sel == p).astype(x.dtype)[:, None]
+        out = out + fat[:, p * f:(p + 1) * f] * m
+    return out
 
 
 def segment_sum(
@@ -277,17 +285,20 @@ def _planned_fwd_impl(msgs, inv_perm, slot_buckets):
     # all gathers in flattened-2-D form (see take_rows): TPU serializes
     # gathers with >1 trailing dim. Indices are flattened too — the
     # 1-D-index gather is XLA-on-TPU's fastest path (2-D index arrays
-    # measured 2-5% slower at collab scale, benchmarks/spmm_variants.py)
+    # measured 2-5% slower at collab scale, benchmarks/spmm_variants.py).
+    # Narrow rows (< 128 lanes) gather as PACKED fat rows via
+    # take_rows_fat (2-D-only select — see its docstring for why).
     tail = msgs.shape[1:]
     flat = msgs.reshape(msgs.shape[0], -1)
+    f = flat.shape[1]
     ext = jnp.concatenate(
-        [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
+        [flat, jnp.zeros((1, f), flat.dtype)], axis=0
     )
     parts = [
-        ext[b.reshape(-1)].reshape(*b.shape, -1).sum(axis=1)
+        take_rows_fat(ext, b.reshape(-1)).reshape(*b.shape, -1).sum(axis=1)
         for b in slot_buckets
     ]
-    parts.append(jnp.zeros((1, flat.shape[1]), flat.dtype))
+    parts.append(jnp.zeros((1, f), flat.dtype))
     out = jnp.concatenate(parts, axis=0)[inv_perm]
     return out.reshape((out.shape[0],) + tail)
 
@@ -303,7 +314,7 @@ def _planned_bwd(num_segments, res, g):
     g_ext = jnp.concatenate(
         [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
     )
-    out = g_ext[dst]
+    out = take_rows_fat(g_ext, dst)  # narrow rows gather packed
     return (out.reshape((dst.shape[0],) + tail), None, None, None)
 
 
@@ -323,11 +334,18 @@ def gather_rows_planned(x, idx, plan):
     .operands()`: the cotangent becomes per-row bucket gathers + reduces
     — pure gathers both directions."""
     del plan
-    return take_rows(x, idx)
+    return _gather_fat_impl(x, idx)
+
+
+def _gather_fat_impl(x, idx):
+    tail = x.shape[1:]
+    flat = x.reshape(x.shape[0], -1)
+    out = take_rows_fat(flat, idx)  # packed when rows are narrow
+    return out.reshape(idx.shape + tail)
 
 
 def _gather_planned_fwd(x, idx, plan):
-    return take_rows(x, idx), (idx, plan)
+    return _gather_fat_impl(x, idx), (idx, plan)
 
 
 def _gather_planned_bwd(res, g):
