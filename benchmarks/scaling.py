@@ -58,18 +58,27 @@ def synth_community_graph(n_nodes: int, n_edges: int, n_comm: int = 64,
     (what `HaloLayout`'s RCM ordering is for). Returns (lo, hi) pairs.
     """
     rng = np.random.default_rng(seed)
-    per = n_nodes // n_comm
+    # community sizes a la np.array_split: the n_nodes % n_comm remainder
+    # is spread over the first communities so EVERY node is reachable (a
+    # flat n_nodes // n_comm size left the trailing remainder nodes
+    # permanently isolated)
+    sizes = np.full(n_comm, n_nodes // n_comm, dtype=np.int64)
+    sizes[: n_nodes % n_comm] += 1
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    per = int(sizes.max())
     m = int(n_edges * 1.4)
     c_u = rng.integers(0, n_comm, m)
     # within-community zipf-ish propensity
     w = (np.arange(1, per + 1, dtype=np.float64)) ** (-alpha)
     w /= w.sum()
-    u_loc = rng.choice(per, size=m, p=w)
-    v_loc = rng.integers(0, per, size=m)
     cross = rng.random(m) >= p_intra
     c_v = np.where(cross, rng.integers(0, n_comm, m), c_u)
-    u = c_u * per + u_loc
-    v = c_v * per + v_loc
+    # draw over the max size, fold into the community's actual size (the
+    # fold only perturbs the zipf tail of the per+1-sized communities)
+    u_loc = rng.choice(per, size=m, p=w) % sizes[c_u]
+    v_loc = rng.integers(0, sizes[c_v])
+    u = offsets[c_u] + u_loc
+    v = offsets[c_v] + v_loc
     label = rng.permutation(n_nodes)
     u, v = label[u], label[v]
     keep = u != v

@@ -40,7 +40,9 @@ import optax
 
 from linkpred_tpu.ops.segment import (
     SegmentPlan,
+    composed_operands,
     gather_rows_planned,
+    gather_sum_composed,
     gcn_norm_coefficients,
     segment_sum,
     segment_sum_onehot,
@@ -65,9 +67,29 @@ class TwoWLConfig:
     dp_1wl1: float = 0.4
     dp_2wl: float = 0.1
     act0: bool = True
-    act1: bool = True
+    act1: bool = False
     learning_rate: float = 0.01
     eps: float = 1e-5
+    # Node-feature regime. True = the reference default: degree-indexed
+    # embedding table, recomputed under the sample-block mask every step
+    # (`model.py:47-55` embedding branch + `utils.py:66-67` degree
+    # recompute). False = a learnable FREE per-node embedding: the table
+    # has one row per node and the feature index is the node id — the
+    # reference's node-attribute branch (`model.py:49-52` Linear on x)
+    # with x itself learnable, and the same transductive feature regime
+    # as `pipelines.gcn_scale`. At >=50k nodes degree-only features are
+    # structure-blind (33 distinct inputs for 50k nodes); free embeddings
+    # are what carries the scale pipeline past the 1-WL GCN baseline.
+    # Callers set max_degree = num_nodes - 1 so init sizes the table.
+    degree_feature: bool = True
+    # Feature dtype for the 2-WL stack (the edge-representation convs
+    # over ei2 — 93% of the scale step, measured gather-bandwidth-bound:
+    # benchmarks/twowl_profile.py). "bf16" halves the bytes of every
+    # ei2 gather/segment-sum and doubles the rows per 512-byte fat-pack
+    # transaction (ops.segment.take_rows_fat). Params, the 1-WL stack,
+    # GraphNorm statistics, and the loss stay f32. Default f32 (exact
+    # parity with the reference numerics at fb-pages scale).
+    compute_dtype: str = "f32"
     # 1-WL aggregation backend: 'plan' (scatter-free bucketed gathers) or
     # 'pallas' (one-hot MXU, `ops.segment.segment_sum_onehot`) — pick with
     # `ops.spmm.choose_backend_1wl(N, num_msg)`; 'pallas' additionally
@@ -139,10 +161,14 @@ def init_params(key, cfg: TwoWLConfig):
 
 
 def graph_norm(p, x, eps: float = 1e-5):
-    mean = x.mean(axis=0, keepdims=True)
-    centered = x - p["mean_scale"] * mean
+    # statistics always in f32 (a bf16 mean over ~1e5 rows loses the
+    # tail); output returns to the input dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=0, keepdims=True)
+    centered = x32 - p["mean_scale"] * mean
     var = (centered**2).mean(axis=0, keepdims=True)
-    return p["weight"] * centered * jax.lax.rsqrt(var + eps) + p["bias"]
+    out = p["weight"] * centered * jax.lax.rsqrt(var + eps) + p["bias"]
+    return out.astype(x.dtype)
 
 
 def gcn_conv(
@@ -167,10 +193,13 @@ def gcn_conv(
     Dynamic edge masking composes into every backend through `coeff`
     (masked edges carry weight 0, so their message rows are zero).
     """
-    h = x @ p["w"]
+    h = x @ p["w"].astype(x.dtype)
     coeff, self_coeff = norm if norm is not None else gcn_norm_coefficients(
         src, dst, num_rows, mask, indices_are_sorted=sorted_dst
     )
+    # coefficients/bias follow the feature dtype (a stray f32 operand
+    # would silently promote the whole bf16 2-WL path back to f32)
+    coeff = coeff.astype(h.dtype)
     # `src_plan` (a SegmentPlan over the source rows) swaps the gather's
     # scatter-add VJP for the scatter-free planned segment-sum — the 2-WL
     # backward's dominant cost at scale (ops.segment.gather_rows_planned)
@@ -185,7 +214,8 @@ def gcn_conv(
         agg = segment_sum_planned(num_rows, msgs, *plan)
     else:
         agg = segment_sum(msgs, dst, num_rows, indices_are_sorted=sorted_dst)
-    return agg + self_coeff[:, None] * h + p["b"]
+    return (agg + self_coeff.astype(h.dtype)[:, None] * h
+            + p["b"].astype(h.dtype))
 
 
 class SplitArrays(NamedTuple):
@@ -219,6 +249,12 @@ class SplitArrays(NamedTuple):
     # exceeds the VMEM one-hot tile bound (`ops.spmm.ONEHOT_MAX_SLOTS`)
     msg_slots: jnp.ndarray = jnp.zeros((0, 0), jnp.int32)
     msg_svalid: jnp.ndarray = jnp.zeros((0, 0), bool)
+    # composed one-gather-per-pass structures for the 2-WL convolutions
+    # (`ops.segment.gather_sum_composed`): per direction a (fwd_ops,
+    # bwd_ops) pair — the FAST path for forward(); the plans above remain
+    # for the trial-major sweep path and as the semantic reference
+    e1_cops: tuple = ()
+    e2_cops: tuple = ()
 
     @staticmethod
     def from_split(s) -> "SplitArrays":
@@ -232,14 +268,30 @@ class SplitArrays(NamedTuple):
         else:
             msg_slots = jnp.zeros((0, 0), jnp.int32)
             msg_svalid = jnp.zeros((0, 0), bool)
-        e1_plan = SegmentPlan.build(s.e1_dst, R).operands()
-        e2_plan = SegmentPlan.build(s.e2_dst, R).operands()
+        e1_plan_obj = SegmentPlan.build(s.e1_dst, R)
+        e2_plan_obj = SegmentPlan.build(s.e2_dst, R)
+        e1_plan = e1_plan_obj.operands()
+        e2_plan = e2_plan_obj.operands()
         # gather plans over source rows (pads carry dst=R -> masked out;
         # clip keeps the forward gather in-bounds, coeff 0 kills the value)
-        e1_gp = SegmentPlan.build(
-            np.where(s.e1_mask, s.e1_src ^ 1, R), R).operands()
-        e2_gp = SegmentPlan.build(
-            np.where(s.e2_mask, s.e2_src, R), R).operands()
+        src1 = np.where(s.e1_mask, s.e1_src ^ 1, R)
+        src2 = np.where(s.e2_mask, s.e2_src, R)
+        e1_gp_obj = SegmentPlan.build(src1, R)
+        e2_gp_obj = SegmentPlan.build(src2, R)
+        e1_gp = e1_gp_obj.operands()
+        e2_gp = e2_gp_obj.operands()
+        # composed structures: slot->source-row in dst-grouped buckets
+        # (forward) and slot->dst-row in src-grouped buckets (backward)
+        e1_cops = (
+            composed_operands(e1_plan_obj, src1, R),
+            composed_operands(e1_gp_obj, np.where(s.e1_mask, s.e1_dst, R),
+                              R),
+        )
+        e2_cops = (
+            composed_operands(e2_plan_obj, src2, R),
+            composed_operands(e2_gp_obj, np.where(s.e2_mask, s.e2_dst, R),
+                              R),
+        )
         return SplitArrays(
             msg_src=jnp.asarray(s.msg[:, 0]),
             msg_dst=jnp.asarray(s.msg[:, 1]),
@@ -259,6 +311,8 @@ class SplitArrays(NamedTuple):
             e2_gather_plan=e2_gp,
             msg_slots=msg_slots,
             msg_svalid=msg_svalid,
+            e1_cops=e1_cops,
+            e2_cops=e2_cops,
         )
 
 
@@ -266,7 +320,8 @@ def _dropout(key, x, rate):
     if isinstance(rate, float) and rate <= 0.0:
         return x
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    # a traced f32 rate must not promote a bf16 feature path
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
 class DropRates(NamedTuple):
@@ -336,40 +391,84 @@ def forward(
         if (cfg.act1 if last else cfg.act0):
             x = jax.nn.relu(x)
 
-    e = x[arrays.pos1_src] * x[arrays.pos1_dst]  # [R, ch2]
+    # edge representation, cast to the 2-WL compute dtype: everything
+    # below runs over the S-slot ei2 structure (the measured 93% of the
+    # scale step) where bf16 halves every gather/segment-sum byte
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
+    e = (x[arrays.pos1_src] * x[arrays.pos1_dst]).astype(cd)  # [R, ch2]
 
     # parity-reverse convention: an edge-row's partner is index XOR 1;
     # dir-1 sources are the partners of the stored message-edge ids,
     # dir-2 destinations are pre-XORed and pre-sorted in the data layout
-    m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
-    m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
-    src1 = arrays.e1_src ^ 1
-    normA = gcn_norm_coefficients(
-        src1, arrays.e1_dst, R, m1, indices_are_sorted=True,
-        plan=arrays.e1_plan,
-    )
-    normB = gcn_norm_coefficients(
-        arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True,
-        plan=arrays.e2_plan,
-    )
-    for i in range(cfg.depth2):
-        def branch(layer, src, dst, m, norm, plan, src_plan):
-            h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True,
-                         norm=norm, plan=plan, src_plan=src_plan)
+    if arrays.e1_cops:
+        # FUSED path (one S-gather per aggregation, fwd and bwd — see
+        # ops.segment.gather_sum_composed): the slot coefficient
+        # dinv[src]*dinv[dst]*mask factorizes into ROW-wise multiplies —
+        # dinv[dst] is constant per segment (applied on the output),
+        # dinv[src]*mask rides the input rows. A slot of direction 1
+        # gathers row a^1 and is masked by msg_mask[a], so the row mask
+        # is the parity-swapped view; direction 2 masks by the gathered
+        # row itself. Pred rows (>= num_msg) never source 2-WL messages.
+        num_msg = msg_mask.shape[0]
+        ones_pred = jnp.ones((R - num_msg,), msg_mask.dtype)
+        mm_sw = msg_mask.reshape(-1, 2)[:, ::-1].reshape(-1)
+        rm1 = jnp.concatenate([mm_sw, ones_pred]).astype(jnp.float32)
+        rm2 = jnp.concatenate([msg_mask, ones_pred]).astype(jnp.float32)
+        deg1 = gather_sum_composed(
+            rm1[:, None], arrays.e1_cops[0], arrays.e1_cops[1])[:, 0] + 1.0
+        deg2 = gather_sum_composed(
+            rm2[:, None], arrays.e2_cops[0], arrays.e2_cops[1])[:, 0] + 1.0
+        dinv1 = jax.lax.rsqrt(jnp.maximum(deg1, 1e-12))
+        dinv2 = jax.lax.rsqrt(jnp.maximum(deg2, 1e-12))
+
+        def branch_fused(layer, cops, dinv, rm):
+            cd_ = e.dtype
+            h = e @ layer["w"].astype(cd_)
+            hm = h * (dinv * rm).astype(cd_)[:, None]
+            agg = gather_sum_composed(hm, cops[0], cops[1])
+            h = (agg * dinv.astype(cd_)[:, None]
+                 + (dinv * dinv).astype(cd_)[:, None] * h
+                 + layer["b"].astype(cd_))
             h = graph_norm(layer["gn"], h, cfg.eps)
             h = drop(h, r.dp_2wl)
             return jax.nn.relu(h)
 
-        e = branch(
-            params["conv2"][i], src1, arrays.e1_dst, m1, normA,
-            arrays.e1_plan, arrays.e1_gather_plan or None,
-        ) + branch(
-            params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2, normB,
-            arrays.e2_plan, arrays.e2_gather_plan or None,
+        for i in range(cfg.depth2):
+            e = branch_fused(
+                params["conv2"][i], arrays.e1_cops, dinv1, rm1,
+            ) + branch_fused(
+                params["conv2r"][i], arrays.e2_cops, dinv2, rm2,
+            )
+    else:
+        m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
+        m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
+        src1 = arrays.e1_src ^ 1
+        normA = gcn_norm_coefficients(
+            src1, arrays.e1_dst, R, m1, indices_are_sorted=True,
+            plan=arrays.e1_plan,
         )
+        normB = gcn_norm_coefficients(
+            arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True,
+            plan=arrays.e2_plan,
+        )
+        for i in range(cfg.depth2):
+            def branch(layer, src, dst, m, norm, plan, src_plan):
+                h = gcn_conv(layer, e, src, dst, R, m, sorted_dst=True,
+                             norm=norm, plan=plan, src_plan=src_plan)
+                h = graph_norm(layer["gn"], h, cfg.eps)
+                h = drop(h, r.dp_2wl)
+                return jax.nn.relu(h)
+
+            e = branch(
+                params["conv2"][i], src1, arrays.e1_dst, m1, normA,
+                arrays.e1_plan, arrays.e1_gather_plan or None,
+            ) + branch(
+                params["conv2r"][i], arrays.e2_src, arrays.e2_dst, m2,
+                normB, arrays.e2_plan, arrays.e2_gather_plan or None,
+            )
 
     sel = e[sel_idx]  # [B, ch2]
-    paired = sel[0::2] * sel[1::2]  # the two directions of each pair
+    paired = (sel[0::2] * sel[1::2]).astype(jnp.float32)  # dir product
     return (paired @ params["pred_w"] + params["pred_b"])[:, 0]
 
 
@@ -411,10 +510,13 @@ def train_step(
     idx2 = double_index(neg_ids) + num_msg
     removed = jnp.zeros((num_msg,), dtype=bool).at[idx1].set(True)
     msg_mask = ~removed
-    deg = segment_sum_planned(
-        num_nodes, msg_mask[arrays.msg_perm].astype(jnp.float32),
-        *arrays.msg_plan,
-    ).astype(jnp.int32)
+    if cfg.degree_feature:
+        deg = segment_sum_planned(
+            num_nodes, msg_mask[arrays.msg_perm].astype(jnp.float32),
+            *arrays.msg_plan,
+        ).astype(jnp.int32)
+    else:
+        deg = jnp.arange(num_nodes, dtype=jnp.int32)  # free per-node rows
 
     sel = jnp.concatenate([idx1, idx2])
     y = jnp.concatenate(

@@ -34,8 +34,9 @@ rows/s regardless of row bytes), so the step is engineered to minimize
   update become [B, D] x [D, neg_pool] MXU matmuls touching `neg_pool`
   random rows per step instead of B*K.
 
-Setting `neg_pool=0` restores the classic per-pair negative path (used by
-the strict gensim-semantics equivalence tests).
+Setting `neg_pool=0` restores the classic per-pair negative path (strict
+gensim per-pair semantics; exercised by
+`tests/test_word2vec.py::TestSGNS::test_classic_negatives_path`).
 """
 
 from __future__ import annotations

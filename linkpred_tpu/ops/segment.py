@@ -34,23 +34,36 @@ def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def take_rows_fat(x: jnp.ndarray, idx: jnp.ndarray,
                   pack: int | None = None) -> jnp.ndarray:
     """Row gather for NARROW rows: fetch `pack` consecutive rows as one
-    fat (>=128-lane) row and select the target in-register.
+    fat (>=512-byte) row and select the target in-register.
 
-    Motivation (docs/KERNELS.md, narrow-row finding): TPU gathers move
-    whole vector transactions; a row of F < 128 lanes wastes most of each
-    one — measured 3.7x at the 2-WL shape (2.2M x 64 B rows: 42 -> 155M
-    rows/s). `[R, F]` reshaped to `[R/pack, pack*F]` is layout-free
-    (row-major contiguity), the fat gather fetches `idx // pack`, and the
-    target sub-row is selected by `pack` masked 2-D accumulations.
-    STRICTLY 2-D intermediates throughout: a one-hot einsum over a
-    [s, pack, F] (or 4-D) tensor tile-pads the small trailing dims 8-16x
-    and OOM'd the 50k-node 2-WL compile (21 GB HBM for a 1.7 GB tensor).
-    Exactly equal to `x[idx]`.
+    HISTORY NOTE — measured both ways, currently NOT the fast path: on
+    the round-4 stack this beat the plain gather 3.7x at the 2-WL shape
+    (2.2M x 64 B rows). Re-measured on the current jax 0.9 TPU runtime
+    at the 50k-node 2-WL shape (4.77M x 64 B rows from a 704k-row
+    table), the PLAIN 2-D gather wins 2.8x (55.6 ms vs 157 ms f32;
+    bf16 97.5-178 ms) — XLA's gather lowering improved past the manual
+    pack-and-select, whose `pack` masked accumulation passes are now
+    pure VPU overhead. The planned segment-sum paths therefore use the
+    plain gather again (`_planned_fwd_impl`); this kernel is kept for
+    regression measurement (benchmarks/twowl_profile.py) and for
+    runtimes where the old behavior returns.
+
+    `[R, F]` reshaped to `[R/pack, pack*F]` is layout-free (row-major
+    contiguity), the fat gather fetches `idx // pack`, and the target
+    sub-row is selected by `pack` masked 2-D accumulations. STRICTLY
+    2-D intermediates throughout: a one-hot einsum over a [s, pack, F]
+    (or 4-D) tensor tile-pads the small trailing dims 8-16x and OOM'd
+    the 50k-node 2-WL compile (21 GB HBM for a 1.7 GB tensor). Exactly
+    equal to `x[idx]`.
     """
     n, f = x.shape
     if pack is None:
-        # cap the unrolled select at 16 slices; >=128 lanes when f allows
-        pack = max(1, min(128 // max(f, 1), 16))
+        # cap the unrolled select at 16 slices; target a >=512-BYTE fat
+        # row (128 f32 lanes / 256 bf16 lanes) — the TPU's useful
+        # transaction size — so halving the element size doubles the
+        # candidate rows per fetch instead of wasting half of each one
+        target = 512 // max(np.dtype(x.dtype).itemsize, 1)
+        pack = max(1, min(target // max(f, 1), 16))
     if pack <= 1 or n < pack:
         return x[idx]
     npad = -(-n // pack) * pack
@@ -286,8 +299,8 @@ def _planned_fwd_impl(msgs, inv_perm, slot_buckets):
     # gathers with >1 trailing dim. Indices are flattened too — the
     # 1-D-index gather is XLA-on-TPU's fastest path (2-D index arrays
     # measured 2-5% slower at collab scale, benchmarks/spmm_variants.py).
-    # Narrow rows (< 128 lanes) gather as PACKED fat rows via
-    # take_rows_fat (2-D-only select — see its docstring for why).
+    # Plain gather, NOT take_rows_fat: re-measured on jax 0.9 the plain
+    # lowering wins 2.8x at the 2-WL shape (see take_rows_fat docstring).
     tail = msgs.shape[1:]
     flat = msgs.reshape(msgs.shape[0], -1)
     f = flat.shape[1]
@@ -295,7 +308,7 @@ def _planned_fwd_impl(msgs, inv_perm, slot_buckets):
         [flat, jnp.zeros((1, f), flat.dtype)], axis=0
     )
     parts = [
-        take_rows_fat(ext, b.reshape(-1)).reshape(*b.shape, -1).sum(axis=1)
+        ext[b.reshape(-1)].reshape(*b.shape, -1).sum(axis=1)
         for b in slot_buckets
     ]
     parts.append(jnp.zeros((1, f), flat.dtype))
@@ -314,7 +327,7 @@ def _planned_bwd(num_segments, res, g):
     g_ext = jnp.concatenate(
         [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
     )
-    out = take_rows_fat(g_ext, dst)  # narrow rows gather packed
+    out = g_ext[dst]  # plain gather (see take_rows_fat history note)
     return (out.reshape((dst.shape[0],) + tail), None, None, None)
 
 
@@ -340,7 +353,7 @@ def gather_rows_planned(x, idx, plan):
 def _gather_fat_impl(x, idx):
     tail = x.shape[1:]
     flat = x.reshape(x.shape[0], -1)
-    out = take_rows_fat(flat, idx)  # packed when rows are narrow
+    out = flat[idx]  # plain gather (see take_rows_fat history note)
     return out.reshape(idx.shape + tail)
 
 
@@ -362,6 +375,87 @@ def _gather_planned_bwd(res, g):
 
 
 gather_rows_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# composed gather-sum: one gather per aggregation (fwd AND bwd)
+# ---------------------------------------------------------------------------
+
+
+def composed_operands(plan: "SegmentPlan", values: np.ndarray,
+                      sentinel: int):
+    """Composed bucket matrices for `gather_sum_composed`: the plan's
+    slot-position buckets with `values[slotpos]` substituted (pads and
+    invalid slots -> `sentinel`, the caller's zero row).
+
+    Motivation (measured, 50k-node 2-WL step trace): the planned
+    aggregation `segment_sum_planned(h[src] * coeff)` costs TWO
+    S-slot gathers — h by src, then the messages by bucket position —
+    and the gathers are transaction-bound (~10 GB/s at 64 B rows), 85%
+    of the train step. Composing `src` into the bucket positions on the
+    host gathers h DIRECTLY in bucket order: one S-gather. The GCN edge
+    coefficient folds into row-wise multiplies because its dst factor
+    is constant within a segment (dinv[dst] applied on the output rows,
+    dinv[src]*mask applied on the input rows).
+    """
+    values_ext = np.append(
+        np.asarray(values, np.int64), sentinel).astype(np.int32)
+    buckets = tuple(
+        jnp.asarray(values_ext[b]) for b in plan.slot_buckets)
+    return (jnp.asarray(plan.inv_perm), buckets)
+
+
+@jax.custom_vjp
+def gather_sum_composed(x, fwd_ops, bwd_ops):
+    """out[r] = sum over the r-th segment's slots of x[idx_slot], with
+    slot->row indices composed on the host (`composed_operands`).
+
+    `x` is [N, F] with row N reserved implicitly as zero (indices equal
+    to N hit the appended zero row). `fwd_ops` aggregates by segment;
+    `bwd_ops` is the TRANSPOSE structure (slots grouped by the gathered
+    row, destination rows composed in) so the VJP is also one gather:
+    dx[s] = sum over slots sourced at s of g[dst_slot].
+    """
+    del bwd_ops
+    return _gather_sum_impl(x, fwd_ops)
+
+
+def _gather_sum_impl(x, ops):
+    inv_perm, buckets = ops
+    tail = x.shape[1:]
+    flat = x.reshape(x.shape[0], -1)
+    f = flat.shape[1]
+    ext = jnp.concatenate([flat, jnp.zeros((1, f), flat.dtype)], axis=0)
+    parts = [
+        ext[b.reshape(-1)].reshape(*b.shape, -1).sum(axis=1)
+        for b in buckets
+    ]
+    parts.append(jnp.zeros((1, f), flat.dtype))
+    out = jnp.concatenate(parts, axis=0)[inv_perm]
+    return out.reshape((out.shape[0],) + tail)
+
+
+def _gather_sum_fwd(x, fwd_ops, bwd_ops):
+    return _gather_sum_impl(x, fwd_ops), (fwd_ops, bwd_ops, x.shape[0])
+
+
+def _gather_sum_bwd(res, g):
+    fwd_ops, bwd_ops, n_rows = res
+    dx = _gather_sum_impl(g, bwd_ops)
+    # the transpose structure covers n_rows source rows by construction
+    assert dx.shape[0] == n_rows, (dx.shape, n_rows)
+
+    def f0(a):
+        if jnp.issubdtype(a.dtype, jnp.inexact):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    return (dx,
+            jax.tree_util.tree_map(f0, fwd_ops),
+            jax.tree_util.tree_map(f0, bwd_ops))
+
+
+gather_sum_composed.defvjp(_gather_sum_fwd, _gather_sum_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -52,11 +52,13 @@ def twowl_split_specs(arrays) -> dict:
     ``edge`` axis: the ei2 direction columns (`e1_*`/`e2_*`) shard over
     ``edge``, everything else replicates (node count and edge-row count are
     small relative to the ei2 cartesian products). The SegmentPlan operand
-    tuples (`*_plan`) are index plans with bucket-shaped arrays — they
-    replicate (GSPMD handles the gathers). Returns {field: PartitionSpec}."""
+    tuples (`*_plan`) and the composed-gather structures (`*_cops`) are
+    index plans with bucket-shaped arrays — they replicate (GSPMD handles
+    the gathers). Returns {field: PartitionSpec}."""
     return {
         k: (P("edge")
-            if k.startswith(("e1_", "e2_")) and not k.endswith("_plan")
+            if k.startswith(("e1_", "e2_"))
+            and not k.endswith(("_plan", "_cops"))
             else P())
         for k in arrays._asdict()
     }

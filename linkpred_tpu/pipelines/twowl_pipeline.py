@@ -58,10 +58,12 @@ def _split_arrays(s: TwoWLSplit) -> m.SplitArrays:
 
 
 def evaluate(params, cfg: m.TwoWLConfig, data: TwoWLData, s: TwoWLSplit):
+    feat = (jnp.asarray(data.node_deg) if cfg.degree_feature
+            else jnp.arange(data.num_nodes, dtype=jnp.int32))
     scores = np.asarray(
         m.eval_scores(
             params,
-            jnp.asarray(data.node_deg),
+            feat,
             _split_arrays(s),
             cfg=cfg,
             num_nodes=data.num_nodes,

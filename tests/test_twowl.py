@@ -467,6 +467,67 @@ class TestEi2Capped:
         assert len(rows) == len(set(rows))  # truncation w/o replacement
 
 
+class TestComposedFused:
+    def test_forward_and_grads_match_planned(self, toy_data):
+        """The composed one-gather-per-pass 2-WL path (ops.segment.
+        gather_sum_composed — the scale fast path) must match the
+        planned path on values AND gradients, including under a
+        sample-block mask."""
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=2,
+                            dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0,
+                            dp_2wl=0.0)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        arrays = m.SplitArrays.from_split(d.train)
+        assert arrays.e1_cops and arrays.e2_cops
+        arrays_plan = arrays._replace(e1_cops=(), e2_cops=())
+        num_msg = d.train.num_msg
+        rng = np.random.default_rng(7)
+        rem = np.zeros(num_msg, bool)
+        ids = rng.choice(num_msg // 2, max(num_msg // 8, 1),
+                         replace=False)
+        rem[2 * ids] = True
+        rem[2 * ids + 1] = True
+        msg_mask = jnp.asarray(~rem)
+        sel = jnp.arange(8, dtype=jnp.int32)
+        deg = jnp.asarray(d.node_deg)
+
+        def loss(p, a):
+            return jnp.sum(
+                m.forward(p, cfg, deg, a, msg_mask, sel, None) ** 2)
+
+        la, ga = jax.value_and_grad(loss)(params, arrays)
+        lb, gb = jax.value_and_grad(loss)(params, arrays_plan)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+        for ka, kb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_bf16_compute_dtype_close(self, toy_data):
+        """compute_dtype='bf16' (the scale default) must track the f32
+        logits within bf16 tolerance."""
+        import dataclasses
+
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=2,
+                            dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0,
+                            dp_2wl=0.0)
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        arrays = m.SplitArrays.from_split(d.train)
+        msg_mask = jnp.ones((d.train.num_msg,), bool)
+        sel = jnp.arange(8, dtype=jnp.int32)
+        deg = jnp.asarray(d.node_deg)
+        l32 = m.forward(params, cfg, deg, arrays, msg_mask, sel, None)
+        l16 = m.forward(
+            params, dataclasses.replace(cfg, compute_dtype="bf16"),
+            deg, arrays, msg_mask, sel, None)
+        scale = float(jnp.max(jnp.abs(l32))) + 1e-9
+        assert float(jnp.max(jnp.abs(l32 - l16))) / scale < 0.05
+
+
 class TestTwoWLScale:
     def test_scale_pipeline_toy(self):
         """Capacity-bounded LocalWLNet end-to-end at toy size: loss falls,
@@ -497,7 +558,10 @@ class TestPlannedGatherVJP:
                             channels_2wl=8, depth1=1, depth2=2,
                             dp_emb=0.0, dp_1wl0=0.0, dp_1wl1=0.0, dp_2wl=0.0)
         params = m.init_params(jax.random.PRNGKey(0), cfg)
-        arrays = m.SplitArrays.from_split(d.train)
+        # disable the composed fast path on both sides: this test
+        # compares the PLANNED gather VJP against XLA's default scatter
+        arrays = m.SplitArrays.from_split(d.train)._replace(
+            e1_cops=(), e2_cops=())
         arrays_noplan = arrays._replace(e1_gather_plan=(),
                                         e2_gather_plan=())
         msg_mask = jnp.ones((d.train.num_msg,), bool)

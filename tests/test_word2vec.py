@@ -35,6 +35,33 @@ class TestSGNS:
         inter = sim[:8, 8:].mean()
         assert intra > inter + 0.2, (intra, inter)
 
+    def test_classic_negatives_path(self):
+        """neg_pool=0 selects `step_classic` (per-pair negatives, the
+        strict gensim semantics); it must learn the same clique structure
+        as the pooled default."""
+        n = 16
+        pairs = []
+        for a in range(8):
+            for b in range(a + 1, 8):
+                pairs.append((a, b))
+                pairs.append((a + 8, b + 8))
+        pairs.append((0, 8))
+        pairs = np.asarray(pairs)
+        g = Graph.from_undirected_edges(pairs[:, 0], pairs[:, 1], num_nodes=n)
+        walks = WalkEngine(g).walks(jax.random.PRNGKey(0), 40, 12)
+        emb = train_sgns(
+            jax.random.PRNGKey(1), walks, n,
+            SGNSConfig(dim=16, window=4, negatives=5, epochs=3,
+                       batch_size=2048, neg_pool=0),
+        )
+        e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sim = e @ e.T
+        intra = (sim[:8, :8].sum() - 8) / (8 * 7) / 2 + (
+            sim[8:, 8:].sum() - 8
+        ) / (8 * 7) / 2
+        inter = sim[:8, 8:].mean()
+        assert intra > inter + 0.2, (intra, inter)
+
     def test_noise_alias_distribution(self, rng):
         counts = np.array([100, 10, 1, 50, 0])
         J, q = _noise_alias(counts, 0.75)
