@@ -284,7 +284,9 @@ def _cmd_scale(args):
     def overrides(**extra):
         # only user-provided values override the pipeline's own defaults
         out = {k: v for k, v in (("nodes", args.nodes),
-                                 ("edges", args.edges)) if v is not None}
+                                 ("edges", args.edges),
+                                 ("edges_file", args.edges_file))
+               if v is not None}
         out.update({k: v for k, v in extra.items() if v is not None})
         out["seed"] = args.seed
         return out
@@ -427,6 +429,10 @@ def build_parser() -> argparse.ArgumentParser:
     # is designed for 50k/250k; gcn/seal run the 235k collab config)
     psc.add_argument("--nodes", type=int, default=None)
     psc.add_argument("--edges", type=int, default=None)
+    psc.add_argument("--edges-file", default=None, metavar="FILE",
+                     help="train on a REAL edge dump (comma/whitespace "
+                          "pairs, header + extra columns tolerated, ids "
+                          "relabeled) instead of the synthetic generator")
     psc.add_argument("--steps", type=int, default=None)
     psc.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     psc.add_argument("--hop", type=int, default=2,

@@ -43,6 +43,40 @@ def load_edge_csv(path: str) -> np.ndarray:
     return np.loadtxt(path, delimiter=",", dtype=np.int64).reshape(-1, 2)
 
 
+def load_edge_pairs(path: str):
+    """Generic real-graph loader for the scale pipelines (`cli scale
+    --edges-file`): one edge per line, comma- OR whitespace-separated,
+    optional header row and extra columns (e.g. ogbl-collab dumps with
+    year/weight) ignored, arbitrary node ids relabeled to a contiguous
+    [0, n). Self-loops dropped, duplicate undirected pairs deduped.
+
+    Returns `(lo, hi, num_nodes)` — the same contract as the synthetic
+    generators in `benchmarks/scaling.py`, so a real edge dump replaces
+    the synthetic graph in `gcn_scale` / `seal_scale` / `twowl_scale`
+    (the published-record pattern of the reference's
+    `records_auc/fb-pages-food_auc_record_twowl.txt`).
+    """
+    with open(path) as f:
+        first = f.readline()
+    delim = "," if "," in first else None
+    skip = 0
+    try:
+        [int(float(t)) for t in first.replace(",", " ").split()[:2]]
+    except (ValueError, IndexError):
+        skip = 1  # header row
+    raw = np.loadtxt(path, delimiter=delim, skiprows=skip,
+                     dtype=np.float64, ndmin=2)
+    e = raw[:, :2].astype(np.int64)
+    uniq, inv = np.unique(e.reshape(-1), return_inverse=True)
+    e = inv.reshape(-1, 2)
+    keep = e[:, 0] != e[:, 1]
+    lo = np.minimum(e[keep, 0], e[keep, 1])
+    hi = np.maximum(e[keep, 0], e[keep, 1])
+    key = lo * len(uniq) + hi
+    _, idx = np.unique(key, return_index=True)
+    return lo[idx], hi[idx], int(len(uniq))
+
+
 def load_fb_pages_food(
     data_dir: Optional[str] = None,
 ) -> Tuple[Graph, np.ndarray]:

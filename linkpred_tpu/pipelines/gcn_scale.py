@@ -44,11 +44,28 @@ class ScaleGCNConfig:
     # collective volume tracks the edge cut instead of N*F.
     aggregation: str = "node_sharded"
     graph: str = "powerlaw"  # or "community" (clustered, collab-like)
+    # real-graph ingestion (`cli scale --edges-file`): an edge dump
+    # (comma/whitespace, arbitrary ids — data.io.load_edge_pairs)
+    # replaces the synthetic generator; nodes/edges are derived from it
+    edges_file: str | None = None
 
 
-def build_problem(cfg: ScaleGCNConfig):
-    """Synthetic collab-scale graph + train/test edge split + the
-    symmetric-normalized node-sharded aggregation layout.
+def resolve_graph_source(cfg):
+    """`(cfg, (lo, hi) | None)`: when `cfg.edges_file` is set, load the
+    real edge dump and rewrite nodes/edges from it (shared by all three
+    scale pipelines)."""
+    if not getattr(cfg, "edges_file", None):
+        return cfg, None
+    from linkpred_tpu.data.io import load_edge_pairs
+
+    lo, hi, n = load_edge_pairs(cfg.edges_file)
+    return dataclasses.replace(cfg, nodes=n, edges=len(lo)), (lo, hi)
+
+
+def build_problem(cfg: ScaleGCNConfig, pairs_override=None):
+    """Collab-scale graph (synthetic or a real `edges_file` dump) +
+    train/test edge split + the symmetric-normalized node-sharded
+    aggregation layout.
 
     Returns (graph, layout, train_pos, test_pos, test_neg) — all host
     numpy; `layout` is (rows_per_shard, stacked arrays) for
@@ -59,9 +76,12 @@ def build_problem(cfg: ScaleGCNConfig):
     from linkpred_tpu.data.split import negative_sampling
 
     rng = np.random.default_rng(cfg.seed)
-    synth = (synth_community_graph if cfg.graph == "community"
-             else synth_powerlaw_graph)
-    lo, hi = synth(cfg.nodes, cfg.edges, seed=cfg.seed)
+    if pairs_override is not None:
+        lo, hi = pairs_override
+    else:
+        synth = (synth_community_graph if cfg.graph == "community"
+                 else synth_powerlaw_graph)
+        lo, hi = synth(cfg.nodes, cfg.edges, seed=cfg.seed)
     pairs = np.stack([lo, hi], axis=1)
     perm = rng.permutation(len(pairs))
     n_test = int(len(pairs) * cfg.test_fraction)
@@ -127,7 +147,8 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
     dtype = jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
 
     t0 = time.time()
-    g, train_pos, test_pos, test_neg = build_problem(cfg)
+    cfg, pairs_override = resolve_graph_source(cfg)
+    g, train_pos, test_pos, test_neg = build_problem(cfg, pairs_override)
     if cfg.aggregation == "halo":
         # boundary-exchange aggregation works in the layout's RELABELED
         # node space: map every pair array through inv_perm once on the

@@ -48,17 +48,23 @@ class ScaleSEALConfig:
     use_embedding: bool = False
     emb_dim: int = 64
     seed: int = 0
+    # real-graph ingestion (`cli scale --edges-file`, see gcn_scale)
+    edges_file: str | None = None
 
 
-def build_problem(cfg: ScaleSEALConfig):
-    """Synthetic collab-scale graph, sampled targets, message-graph CSR."""
+def build_problem(cfg: ScaleSEALConfig, pairs_override=None):
+    """Collab-scale graph (synthetic or a real `edges_file` dump),
+    sampled targets, message-graph CSR."""
     from benchmarks.scaling import synth_powerlaw_graph
     from linkpred_tpu.data.graph import Graph
     from linkpred_tpu.data.split import negative_sampling
 
     rng = np.random.default_rng(cfg.seed)
-    lo, hi = synth_powerlaw_graph(cfg.nodes, cfg.edges, alpha=0.9,
-                                  seed=cfg.seed)
+    if pairs_override is not None:
+        lo, hi = pairs_override
+    else:
+        lo, hi = synth_powerlaw_graph(cfg.nodes, cfg.edges, alpha=0.9,
+                                      seed=cfg.seed)
     pairs = np.stack([lo, hi], axis=1)
 
     perm = rng.permutation(len(pairs))
@@ -92,7 +98,11 @@ def run_seal_scale(cfg: ScaleSEALConfig = ScaleSEALConfig(),
     from linkpred_tpu.utils import metrics
 
     t0 = time.perf_counter()
-    g, (train_pos, train_neg, test_pos, test_neg) = build_problem(cfg)
+    from linkpred_tpu.pipelines.gcn_scale import resolve_graph_source
+
+    cfg, pairs_override = resolve_graph_source(cfg)
+    g, (train_pos, train_neg, test_pos, test_neg) = build_problem(
+        cfg, pairs_override)
     build_seconds = time.perf_counter() - t0
 
     all_pairs = np.concatenate([train_pos, train_neg, test_pos, test_neg])

@@ -32,7 +32,7 @@ class ScaleTwoWLConfig:
     edges: int = 250_000
     graph: str = "community"  # or "powerlaw"
     max_degree: int = 32
-    ei2_cap_per_node: int = 256
+    ei2_cap_per_node: int | None = 256  # None = exact ei2 (small graphs)
     epochs: int = 48
     # chunk small: the axon worker kills any single device program at
     # ~60 s wall, and a 50k-node epoch costs ~1-2 s on the chip
@@ -55,13 +55,23 @@ class ScaleTwoWLConfig:
     # the run inside a benchable epoch budget.
     warmup_epochs: int = 10
     seed: int = 0
-    # Node features: "free" = learnable per-node embedding rows (the
-    # reference's node-attribute branch `model.py:49-52` with x itself
-    # learnable — the same transductive regime as gcn_scale, and what
-    # lets TwoWL-at-scale beat the 1-WL GCN baseline). "degree" = the
-    # reference default degree-indexed table — structure-only features,
-    # 33 distinct inputs at 50k nodes.
-    node_feature: str = "free"
+    # Node features: "n2v" (default) = learnable per-node embedding rows
+    # INITIALIZED from a node2vec/SGNS run over the train message graph —
+    # the reference's node-attribute branch (`model.py:49-52`) fed the
+    # way its other two families build features (walks + Word2Vec:
+    # `feature_extraction.py:8-25`, `SEAL/config/data.py:35-78`), with x
+    # itself learnable. A randomly-initialized free table ("free") learns
+    # too slowly here: the logit is 4th-order in x (edge product, then
+    # direction product), so gradients through random products are tiny —
+    # measured val AUC 0.54 after 32 epochs vs the n2v-seeded start.
+    # "degree" = the reference default degree-indexed table —
+    # structure-only features, 33 distinct inputs at 50k nodes.
+    node_feature: str = "n2v"
+    n2v_walks_per_node: int = 8
+    n2v_walk_length: int = 16
+    n2v_epochs: int = 2
+    # real-graph ingestion (`cli scale --edges-file`, see gcn_scale)
+    edges_file: str | None = None
     # feature dtype for the 2-WL stack (93% of the step, gather-bound —
     # benchmarks/twowl_profile.py); bf16 halves its bytes
     compute_dtype: str = "bf16"
@@ -82,11 +92,16 @@ def build_scale_data(cfg: ScaleTwoWLConfig):
     )
     from linkpred_tpu.data.graph import Graph
     from linkpred_tpu.data.twowl import build_twowl_data
+    from linkpred_tpu.pipelines.gcn_scale import resolve_graph_source
 
+    cfg, pairs_override = resolve_graph_source(cfg)
     rng = np.random.default_rng(cfg.seed)
-    synth = (synth_community_graph if cfg.graph == "community"
-             else synth_powerlaw_graph)
-    lo, hi = synth(cfg.nodes, cfg.edges, seed=cfg.seed)
+    if pairs_override is not None:
+        lo, hi = pairs_override
+    else:
+        synth = (synth_community_graph if cfg.graph == "community"
+                 else synth_powerlaw_graph)
+        lo, hi = synth(cfg.nodes, cfg.edges, seed=cfg.seed)
     g = Graph.from_undirected_edges(lo, hi, num_nodes=cfg.nodes)
     g = g.with_degree_cap(cfg.max_degree, rng=rng, symmetric=True)
     pairs = np.stack([g.src, g.dst], axis=1)
@@ -112,7 +127,7 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
     data = build_scale_data(cfg)
     build_seconds = time.time() - t0
 
-    free = cfg.node_feature == "free"
+    free = cfg.node_feature in ("free", "n2v")
     mcfg = m.TwoWLConfig(
         max_degree=(data.num_nodes - 1) if free else data.max_degree,
         degree_feature=not free,
@@ -128,6 +143,28 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
     params = m.init_params(k_init, mcfg)
+    n2v_seconds = 0.0
+    if cfg.node_feature == "n2v":
+        # seed the free table from walks + SGNS over the TRAIN message
+        # graph only (no held-out edges — the embedding regime of
+        # reference `SEAL/config/data.py:35-78`)
+        from linkpred_tpu.data.graph import Graph
+        from linkpred_tpu.models.word2vec import SGNSConfig, train_sgns
+        from linkpred_tpu.ops.walk import WalkEngine
+
+        tn = time.time()
+        msg = data.train.msg[::2]
+        gm = Graph.from_undirected_edges(
+            msg[:, 0], msg[:, 1], num_nodes=data.num_nodes)
+        key, kw, ks = jax.random.split(key, 3)
+        walks = WalkEngine(gm).walks(
+            kw, cfg.n2v_walks_per_node, cfg.n2v_walk_length)
+        emb0 = train_sgns(
+            ks, np.asarray(walks), data.num_nodes,
+            SGNSConfig(dim=cfg.channels_1wl, window=5,
+                       epochs=cfg.n2v_epochs, batch_size=65536))
+        params["emb"] = jnp.asarray(np.asarray(emb0, np.float32))
+        n2v_seconds = time.time() - tn
     if cfg.warmup_epochs > 0:
         schedule = optax.schedules.warmup_cosine_decay_schedule(
             init_value=cfg.learning_rate * 0.05,
@@ -224,7 +261,7 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
     q = max(len(losses) // 4, 1)
     first_q, last_q = float(losses[:q].mean()), float(losses[-q:].mean())
     out = {
-        "nodes": cfg.nodes,
+        "nodes": data.num_nodes,
         "msg_edges": int(data.train.num_msg),
         "ei2_columns": int(len(data.train.e1_src)),
         "ei2_cap_per_node": cfg.ei2_cap_per_node,
@@ -238,6 +275,8 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
         "epochs_per_s": round(epochs_timed / max(train_seconds, 1e-9), 2),
         "compile_seconds": round(compile_seconds, 1),
         "build_seconds": round(build_seconds, 1),
+        "n2v_seconds": round(n2v_seconds, 1),
+        "node_feature": cfg.node_feature,
     }
     if verbose:
         print(f"twowl-scale: {cfg.nodes} nodes, "

@@ -143,6 +143,43 @@ class TestScaleCLI:
         assert '"test_auc"' in out
         assert '"ei2_cap_per_node"' in out
 
+    def test_scale_edges_file_real_graph(self, tmp_path, capsys):
+        """`cli scale --edges-file` must replace the synthetic generator
+        with a real edge dump (round-4 VERDICT item 3): arbitrary ids,
+        header row, comma separation, extra columns all tolerated."""
+        import json
+
+        import numpy as np
+
+        from linkpred_tpu import cli
+        from linkpred_tpu.data.io import load_edge_pairs
+
+        # a "real" dump: shuffled non-contiguous ids + header + weights
+        rng = np.random.default_rng(3)
+        n = 300
+        ids = rng.choice(10_000_000, n, replace=False)
+        lo, hi, years = [], [], []
+        for _ in range(1500):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                lo.append(ids[a]); hi.append(ids[b]); years.append(2019)
+        path = tmp_path / "real.csv"
+        with open(path, "w") as f:
+            f.write("src,dst,year\n")
+            for a, b, y in zip(lo, hi, years):
+                f.write(f"{a},{b},{y}\n")
+
+        l2, h2, n2 = load_edge_pairs(str(path))
+        assert n2 <= n and n2 > 200
+        assert l2.max() < n2 and (l2 < h2).all()
+
+        cli.main(["--quiet", "scale", "--family", "gcn",
+                  "--edges-file", str(path), "--steps", "8"])
+        out = capsys.readouterr().out
+        res = json.loads(out.strip().splitlines()[-1])
+        assert res["nodes"] == n2
+        assert "test_auc" in res
+
 
 class TestReportCLI:
     def test_report_writes_selfcontained_html(self, tmp_path, capsys):
