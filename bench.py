@@ -143,50 +143,6 @@ def gate_spmm(g, feats=128):
     return out
 
 
-def gate_node_sharded(g, feats=128):
-    """Mesh node-sharded aggregation rate + scaling efficiency vs the
-    single-device bucketed rate (BASELINE >=80% edges/s gate). On the
-    1-chip bench host this measures mesh-path overhead (shards=1); the
-    multi-device numbers come from the CPU-mesh scaling bench and
-    MULTIHOST artifacts."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from benchmarks.scaling import bench_chained
-    from linkpred_tpu.ops import spmm
-    from linkpred_tpu.parallel import make_mesh
-    from linkpred_tpu.parallel.spmm_shard import (
-        build_node_sharded_buckets,
-        spmm_node_sharded,
-    )
-
-    e, n = g.num_edges, g.num_nodes
-    shards = len(jax.devices())
-    mesh = make_mesh(shape=(1, shards))
-    rows, _, stacked = build_node_sharded_buckets(g, shards)
-    sj = tuple(jnp.asarray(a) for a in stacked)
-    x = jnp.asarray(np.random.default_rng(2).standard_normal(
-        (n, feats)).astype(np.float32))
-    layout = spmm.BucketedEll.from_graph(g)
-    dt1 = bench_chained(lambda x, *o: spmm.spmm_bucketed(x, n, *o),
-                        x, *layout.operands())
-    dtm = bench_chained(
-        lambda x, *o: spmm_node_sharded(mesh, x, n, rows, *o), x, *sj)
-    eff = (e / dtm) / ((e / dt1) * shards)
-    out = {
-        "shards": shards,
-        "edges_per_s": round(e / dtm),
-        "scaling_efficiency": round(eff, 3),
-        "meets_80pct_gate": bool(eff >= 0.80),
-    }
-    if shards == 1:
-        out["note"] = ("1 shard — self-comparison (mesh-path overhead "
-                       "only); multi-shard number is the "
-                       "node_sharded_mesh_multi gate")
-    return out
-
-
 def gate_node_sharded_multi(nodes=100_000, edges=600_000):
     """Multi-shard scaling on the virtual 8-device CPU mesh, run in a
     SUBPROCESS (the bench process owns the TPU client; a second platform
@@ -214,8 +170,11 @@ def gate_node_sharded_multi(nodes=100_000, edges=600_000):
         capture_output=True, text=True, timeout=480, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    keep = ("shards", "edges_per_s", "vs_whole_machine_single", "edge_cut",
-            "ghost_capacity_rows", "collective_bytes_per_device_layer",
+    keep = ("shards", "edges_per_s", "edges_per_s_bf16",
+            "vs_whole_machine_single", "vs_whole_machine_single_bf16",
+            "edge_cut", "ghost_capacity_rows", "hub_rows",
+            "collective_bytes_per_device_layer",
+            "collective_bytes_per_device_layer_bf16",
             "collective_reduction_x")
     out = {"platform": "cpu-virtual-mesh (shared-memory collectives)"}
     names = {"spmm_node_sharded_bucketed": "node_sharded",
@@ -233,8 +192,15 @@ def gate_node_sharded_multi(nodes=100_000, edges=600_000):
         raise RuntimeError(
             f"mesh-only subprocess incomplete (rc {proc.returncode}): "
             f"{proc.stderr[-300:]}")
-    out["halo_meets_0p6_gate"] = bool(
-        out["halo_community"]["vs_whole_machine_single"] >= 0.6)
+    # round-4 VERDICT item 2 thresholds: community (the realistic collab
+    # regime) holds the BASELINE 0.8 at f32; power-law (structureless
+    # worst case, fixed by the cost-picked balance ordering) must clear
+    # 0.6 at bf16 — the dtype the scale pipelines actually exchange
+    # (gcn_scale default) — with the f32 number recorded alongside
+    out["halo_community_meets_0p8_gate"] = bool(
+        out["halo_community"]["vs_whole_machine_single"] >= 0.8)
+    out["halo_powerlaw_meets_0p6_gate"] = bool(
+        out["halo_powerlaw"]["vs_whole_machine_single_bf16"] >= 0.6)
     return out
 
 
@@ -370,17 +336,22 @@ def gate_collab_e2e():
 
 
 def gate_twowl_scale():
-    """End-to-end LocalWLNet at 50k nodes with the capacity-bounded ei2
-    (BASELINE scale-up carried to the flagship family): loss decrease +
-    held-out AUC, hard-failing on divergence like the other scale gates."""
+    """End-to-end LocalWLNet at 50k nodes — the flagship family at scale
+    (round-4 VERDICT item 1 targets: test AUC >= 0.85 AND >= 2 epochs/s).
+    Default pipeline config: n2v-seeded free embeddings, paired fused
+    2-WL path, bf16 2-WL stack, cap-128 ei2 (cap study:
+    logs/twowl_cap_study.json), warmup-cosine, 96 epochs. Hard-fails on
+    divergence like the other scale gates."""
     from linkpred_tpu.pipelines.twowl_scale import (
         ScaleTwoWLConfig,
         run_twowl_scale,
     )
 
-    res = run_twowl_scale(ScaleTwoWLConfig(epochs=40), verbose=False)
+    res = run_twowl_scale(ScaleTwoWLConfig(), verbose=False)
     if not res["loss_decreased"]:
         raise RuntimeError(f"twowl scale DIVERGED: {json.dumps(res)}")
+    res["meets_auc_0p85_gate"] = bool(res["test_auc"] >= 0.85)
+    res["meets_2eps_gate"] = bool(res["epochs_per_s"] >= 2.0)
     return res
 
 
@@ -459,7 +430,14 @@ def main():
         deadline = time.perf_counter() + float(
             os.environ.get("BENCH_GATE_BUDGET_S", "480"))
         g = collab_graph()
+        # execution order = evidence priority (budget discipline, round-4
+        # VERDICT item 8): flagship-scale proofs first, micro numbers
+        # last. The 1-shard `node_sharded_mesh` self-comparison gate was
+        # RETIRED — it measured only mesh-path overhead on one chip and
+        # was the gate the budget kept dropping; the multi-shard
+        # subprocess gate carries all the sharded-aggregation evidence.
         _gate(gates, "spmm_single_chip", lambda: gate_spmm(g), deadline)
+        _gate(gates, "twowl_scale", gate_twowl_scale, deadline)
         _gate(gates, "collab_e2e_training", gate_collab_e2e, deadline)
         _gate(gates, "collab_seal", gate_collab_seal, deadline)
         _gate(gates, "node_sharded_mesh_multi", gate_node_sharded_multi,
@@ -467,15 +445,12 @@ def main():
         _gate(gates, "sgns", gate_sgns, deadline)
         _gate(gates, "walks", lambda: gate_walks(g), deadline)
         _gate(gates, "seal_step", gate_seal, deadline)
-        _gate(gates, "twowl_scale", gate_twowl_scale, deadline)
-        _gate(gates, "node_sharded_mesh", lambda: gate_node_sharded(g),
-              deadline)
 
     # stdout line layout: gates lead (cheap ones first, flagship LAST so a
     # bounded tail capture keeps them), headline metric keys at the very
     # end — the r03 artifact lost `twowl_sweep32` + `spmm_single_chip` to
     # tail truncation with the old headline-first order
-    display_order = ("walks", "seal_step", "node_sharded_mesh", "sgns",
+    display_order = ("walks", "seal_step", "sgns",
                      "node_sharded_mesh_multi", "collab_seal", "twowl_scale",
                      "collab_e2e_training", "spmm_single_chip")
     gates_out = {k: _compact(gates[k]) for k in display_order if k in gates}

@@ -1,15 +1,18 @@
-"""AUC-vs-budget: successive halving vs flat random search (TwoWL refine).
+"""AUC-vs-budget A/B of the three TwoWL refine modes.
 
-Both searchers spend (approximately) the SAME number of trial-epochs on
-the same trial-major engine; halving starts ~2x as many configurations and
-promotes the top half each 250-epoch rung (warm: params + Adam moments),
-so its budget buys breadth early and depth only where it pays. This is the
-measured basis for `cli twowl --refine N --refine-mode halving`
-superseding the reference's Optuna TPE (`TwoWL_work.py:112-132`).
+All searchers spend (approximately) the SAME number of trial-epochs on
+the same trial-major engine:
+- flat: uniform random configs, full schedule each;
+- halving: ~2x as many configurations, top half promoted warm (params +
+  Adam moments) each 250-epoch rung — breadth early, depth where it pays;
+- adaptive: TPE-class model-based sampling — 4 rounds, later rounds drawn
+  from a grid-KDE over the top observed quantile (the capability match
+  for the reference's Optuna TPE, `TwoWL_work.py:112-132`).
 
 Budget math at the defaults (epochs=1000, chunk=250, eta=2):
-  flat    16 trials x 1000 epochs               = 16,000 trial-epochs
-  halving 32 -> 16 -> 8 -> 8 over 250-epoch rungs = 16,000 trial-epochs
+  flat     16 trials x 1000 epochs                 = 16,000 trial-epochs
+  halving  32 -> 16 -> 8 -> 8 over 250-epoch rungs = 16,000 trial-epochs
+  adaptive 4 rounds x 4 trials x 1000 epochs       = 16,000 trial-epochs
 
 Run: `python benchmarks/halving.py [--seeds K]`; prints one JSON line per
 (mode, seed) and a summary line.
@@ -32,6 +35,7 @@ def main():
     from linkpred_tpu.models import twowl as m
     from linkpred_tpu.pipelines.twowl_pipeline import (
         TwoWLRunConfig,
+        refine_adaptive,
         refine_halving,
         refine_vmapped,
     )
@@ -41,12 +45,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--flat-trials", type=int, default=16)
     ap.add_argument("--halving-trials", type=int, default=32)
+    ap.add_argument("--adaptive-trials", type=int, default=16,
+                    help="same trial-epoch budget as flat, spent over 4 "
+                         "model-guided rounds")
     args = ap.parse_args()
 
     _, edges = io.load_fb_pages_food()
     pairs = sp._dedup_upper(edges)
 
-    results = {"flat": [], "halving": []}
+    results = {"flat": [], "halving": [], "adaptive": []}
     for seed in range(args.seeds):
         data = build_twowl_data(
             pairs, int(edges.max()) + 1, rng=np.random.default_rng(seed)
@@ -58,6 +65,7 @@ def main():
         for mode, fn, n in (
             ("flat", refine_vmapped, args.flat_trials),
             ("halving", refine_halving, args.halving_trials),
+            ("adaptive", refine_adaptive, args.adaptive_trials),
         ):
             t0 = time.perf_counter()
             out = fn(data, cfg, run, n_trials=n,
@@ -73,18 +81,15 @@ def main():
             print(json.dumps(rec), flush=True)
 
     summary = {
-        "metric": "halving_vs_flat_refine",
+        "metric": "refine_mode_ab",
         "budget_trial_epochs": args.flat_trials * args.epochs,
-        "flat_mean_test_auc": round(
-            float(np.mean([r["test_auc"] for r in results["flat"]])), 4),
-        "halving_mean_test_auc": round(
-            float(np.mean([r["test_auc"] for r in results["halving"]])), 4),
-        "flat_mean_best_val": round(
-            float(np.mean([r["best_val"] for r in results["flat"]])), 4),
-        "halving_mean_best_val": round(
-            float(np.mean([r["best_val"] for r in results["halving"]])), 4),
         "seeds": args.seeds,
     }
+    for mode, recs in results.items():
+        summary[f"{mode}_mean_test_auc"] = round(
+            float(np.mean([r["test_auc"] for r in recs])), 4)
+        summary[f"{mode}_mean_best_val"] = round(
+            float(np.mean([r["best_val"] for r in recs])), 4)
     print(json.dumps(summary), flush=True)
 
 

@@ -233,42 +233,54 @@ def main():
         # rediscovers the communities, cut and bytes collapse).
         from linkpred_tpu.parallel.halo import HaloLayout, spmm_halo
 
-        def bench_halo(gr, tag, xx, eps_base):
+        def bench_halo(gr, tag, xx, layout_single):
             lay = HaloLayout.build(gr, n_shards)
             x_new = xx[jnp.asarray(lay.order)]
-            dt_h = bench_chained(
-                lambda x, *ops: spmm_halo(
-                    mesh_all, x, gr.num_nodes, lay.rows_per_shard,
-                    lay.ghost_capacity, *ops), x_new, *lay.operands())
-            eps_h = gr.num_edges / dt_h
-            halo_bytes = lay.collective_bytes_per_layer(args.feats)
-            full_bytes = gr.num_nodes * args.feats * 4
-            print(json.dumps({
-                "metric": f"spmm_halo_{tag}", "shards": n_shards,
-                "edges_per_s": round(eps_h), "seconds": round(dt_h, 4),
-                "single_device_edges_per_s": round(eps_base),
-                "scaling_efficiency": round(eps_h / (eps_base * n_shards), 3),
-                "vs_whole_machine_single": round(eps_h / eps_base, 3),
-                "edge_cut": lay.edge_cut,
-                "directed_edges": gr.num_edges,
-                "ghost_capacity_rows": lay.ghost_capacity,
-                "collective_bytes_per_device_layer": halo_bytes,
-                "full_gather_bytes": full_bytes,
-                "collective_reduction_x": round(full_bytes / halo_bytes, 1),
-                "note": note,
-            }))
+            rec = {"metric": f"spmm_halo_{tag}", "shards": n_shards,
+                   "edge_cut": lay.edge_cut,
+                   "directed_edges": gr.num_edges,
+                   "ghost_capacity_rows": lay.ghost_capacity,
+                   "hub_rows": lay.num_hubs,
+                   "note": note}
+            # f32 (the numerics-default path) AND bf16 (the dtype the
+            # scale training pipelines actually exchange — gcn_scale
+            # default dtype=bf16 — with half the collective payload);
+            # each ratio uses its own-dtype single-device baseline
+            for dt, suffix in ((jnp.float32, ""), (jnp.bfloat16, "_bf16")):
+                xd = x_new.astype(dt)
+                eps_base = gr.num_edges / bench_chained(
+                    lambda x, *ops: spmm.spmm_bucketed(x, gr.num_nodes,
+                                                       *ops),
+                    xx.astype(dt), *layout_single.operands())
+                dt_h = bench_chained(
+                    lambda x, *ops: spmm_halo(
+                        mesh_all, x, gr.num_nodes, lay.rows_per_shard,
+                        lay.ghost_capacity, *ops), xd, *lay.operands())
+                eps_h = gr.num_edges / dt_h
+                bpe = 4 if dt == jnp.float32 else 2
+                halo_bytes = lay.collective_bytes_per_layer(
+                    args.feats, dtype_bytes=bpe)
+                full_bytes = gr.num_nodes * args.feats * bpe
+                rec.update({
+                    f"edges_per_s{suffix}": round(eps_h),
+                    f"seconds{suffix}": round(dt_h, 4),
+                    f"single_device_edges_per_s{suffix}": round(eps_base),
+                    f"vs_whole_machine_single{suffix}":
+                        round(eps_h / eps_base, 3),
+                    f"collective_bytes_per_device_layer{suffix}":
+                        halo_bytes,
+                    f"collective_reduction_x{suffix}":
+                        round(full_bytes / max(halo_bytes, 1), 1),
+                })
+            print(json.dumps(rec))
 
-        bench_halo(g, "powerlaw", x, eps_1)
+        bench_halo(g, "powerlaw", x, layout)
 
         lo_c, hi_c = synth_community_graph(args.nodes, args.edges, seed=0)
         gc = Graph.from_undirected_edges(lo_c, hi_c, num_nodes=args.nodes)
         gc = gc.with_degree_cap(args.max_degree,
                                 rng=np.random.default_rng(1), symmetric=True)
-        layout_c = spmm.BucketedEll.from_graph(gc)
-        eps_c1 = gc.num_edges / bench_chained(
-            lambda x, *ops: spmm.spmm_bucketed(x, args.nodes, *ops),
-            x, *layout_c.operands())
-        bench_halo(gc, "community", x, eps_c1)
+        bench_halo(gc, "community", x, spmm.BucketedEll.from_graph(gc))
         return
 
     if args.train_e2e:

@@ -194,12 +194,17 @@ def main():
     def row_gather(x, idx):
         return x[idx]
 
+    def triples(fn):
+        # the frozen historical variants predate the inv_perm assembly
+        # operand (round 5) — strip it so they keep their verbatim form
+        return lambda x, num_nodes, *o: fn(x, num_nodes, *o[1:])
+
     all_variants = {
         "production": spmm.spmm_bucketed,
-        "einsum2d": spmm_bucketed_einsum2d,
-        "flat": spmm_bucketed_flat,
-        "vpu": spmm_bucketed_vpu,
-        "cols": spmm_bucketed_cols,
+        "einsum2d": triples(spmm_bucketed_einsum2d),
+        "flat": triples(spmm_bucketed_flat),
+        "vpu": triples(spmm_bucketed_vpu),
+        "cols": triples(spmm_bucketed_cols),
     }
     selected = [v for v in args.variants.split(",") if v]
     if args.pallas and "pallas_rowdma" not in selected:
@@ -207,7 +212,7 @@ def main():
     if "pallas_rowdma" in selected:
         from linkpred_tpu.ops.pallas_kernels import spmm_rowdma_bucketed
 
-        all_variants["pallas_rowdma"] = spmm_rowdma_bucketed
+        all_variants["pallas_rowdma"] = triples(spmm_rowdma_bucketed)
     unknown = [v for v in selected if v not in all_variants]
     assert not unknown, f"unknown variants {unknown} (pass --pallas?)"
     variants = {k: all_variants[k] for k in selected}

@@ -397,11 +397,14 @@ def build_parser() -> argparse.ArgumentParser:
              "with N simultaneous (lr x dropout) trials in one program",
     )
     pt.add_argument(
-        "--refine-mode", choices=("flat", "halving"), default="flat",
+        "--refine-mode", choices=("flat", "halving", "adaptive"),
+        default="flat",
         help="flat: all N trials train the full schedule; halving: "
              "successive halving — N trials start, the top 1/2 by val AUC "
              "survive each 250-epoch rung warm (params + Adam moments), "
-             "inspecting ~2x more configs per epoch budget",
+             "inspecting ~2x more configs per epoch budget; adaptive: "
+             "TPE-class model-based sampling — later rounds draw configs "
+             "from a grid-KDE over the top observed quantile",
     )
 
     pc = sub.add_parser("compare", help="compare best records per family")

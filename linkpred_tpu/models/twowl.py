@@ -281,15 +281,13 @@ class SplitArrays(NamedTuple):
         e1_gp = e1_gp_obj.operands()
         e2_gp = e2_gp_obj.operands()
         # composed structures: slot->source-row in dst-grouped buckets
-        # (forward) and slot->dst-row in src-grouped buckets (backward)
+        # (forward) and slot->dst-row in src-grouped buckets (backward).
+        # Only direction 1 needs them — the paired fused path in
+        # `forward` recovers direction 2 from the same gather via the
+        # parity symmetry (see the PAIRED fused path comment).
         e1_cops = (
             composed_operands(e1_plan_obj, src1, R),
             composed_operands(e1_gp_obj, np.where(s.e1_mask, s.e1_dst, R),
-                              R),
-        )
-        e2_cops = (
-            composed_operands(e2_plan_obj, src2, R),
-            composed_operands(e2_gp_obj, np.where(s.e2_mask, s.e2_dst, R),
                               R),
         )
         return SplitArrays(
@@ -312,7 +310,6 @@ class SplitArrays(NamedTuple):
             msg_slots=msg_slots,
             msg_svalid=msg_svalid,
             e1_cops=e1_cops,
-            e2_cops=e2_cops,
         )
 
 
@@ -391,54 +388,74 @@ def forward(
         if (cfg.act1 if last else cfg.act0):
             x = jax.nn.relu(x)
 
-    # edge representation, cast to the 2-WL compute dtype: everything
-    # below runs over the S-slot ei2 structure (the measured 93% of the
-    # scale step) where bf16 halves every gather/segment-sum byte
+    # edge representation (`ops.sddmm.edge_hadamard` — reference
+    # `model.py:75`), cast to the 2-WL compute dtype: everything below
+    # runs over the S-slot ei2 structure (the measured 93% of the scale
+    # step) where bf16 halves every gather/segment-sum byte
+    from linkpred_tpu.ops.sddmm import edge_hadamard
+
     cd = jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
-    e = (x[arrays.pos1_src] * x[arrays.pos1_dst]).astype(cd)  # [R, ch2]
+    e = edge_hadamard(arrays.pos1_src, arrays.pos1_dst, x).astype(cd)
 
     # parity-reverse convention: an edge-row's partner is index XOR 1;
     # dir-1 sources are the partners of the stored message-edge ids,
     # dir-2 destinations are pre-XORed and pre-sorted in the data layout
     if arrays.e1_cops:
-        # FUSED path (one S-gather per aggregation, fwd and bwd — see
-        # ops.segment.gather_sum_composed): the slot coefficient
-        # dinv[src]*dinv[dst]*mask factorizes into ROW-wise multiplies —
-        # dinv[dst] is constant per segment (applied on the output),
-        # dinv[src]*mask rides the input rows. A slot of direction 1
-        # gathers row a^1 and is masked by msg_mask[a], so the row mask
-        # is the parity-swapped view; direction 2 masks by the gathered
-        # row itself. Pred rows (>= num_msg) never source 2-WL messages.
+        # PAIRED fused path — one 2C-channel S-gather per layer serves
+        # BOTH direction branches (fwd and bwd; ops.segment.
+        # gather_sum_composed). Two measured facts make this exact and
+        # fast: (1) the slot coefficient dinv[src]*dinv[dst]*mask
+        # factorizes into row-wise multiplies — dinv[dst] is constant
+        # per segment (applied on the output rows), dinv[src]*mask rides
+        # the input rows; (2) dir-2 enumerates the SAME (a, b) slot set
+        # as dir-1 with source a (vs a^1) and destination b^1 (vs b) —
+        # the parity image (`data/twowl._pad_and_sort_ei2`). Packing
+        # row r as [h_A[r]*m_A[r] || h_B[r^1]*m_B[r^1]] makes the dir-1
+        # bucket-sum produce both branches at once (segment b's dir-2
+        # target is the constant b^1, recovered by a parity row swap) —
+        # and the S-row gather is transaction-bound, so 2C channels cost
+        # the same as C. A slot gathers row a^1 and dies when message
+        # edge a is removed, so the dir-1 row mask is the parity-swapped
+        # msg_mask; dir-2 masks by its own gathered row. Pred rows
+        # (>= num_msg) never source 2-WL messages.
         num_msg = msg_mask.shape[0]
+        C2 = cfg.channels_2wl
+
+        def swap(v):  # parity-partner row view: r <-> r^1
+            return v.reshape(-1, 2, *v.shape[1:])[:, ::-1].reshape(v.shape)
+
         ones_pred = jnp.ones((R - num_msg,), msg_mask.dtype)
-        mm_sw = msg_mask.reshape(-1, 2)[:, ::-1].reshape(-1)
-        rm1 = jnp.concatenate([mm_sw, ones_pred]).astype(jnp.float32)
         rm2 = jnp.concatenate([msg_mask, ones_pred]).astype(jnp.float32)
+        rm1 = swap(rm2)
+        # both directions mask a slot by msg_mask[a], so
+        # deg2[b^1] == deg1[b]: ONE 1-channel degree pass, parity-swapped
         deg1 = gather_sum_composed(
             rm1[:, None], arrays.e1_cops[0], arrays.e1_cops[1])[:, 0] + 1.0
-        deg2 = gather_sum_composed(
-            rm2[:, None], arrays.e2_cops[0], arrays.e2_cops[1])[:, 0] + 1.0
         dinv1 = jax.lax.rsqrt(jnp.maximum(deg1, 1e-12))
-        dinv2 = jax.lax.rsqrt(jnp.maximum(deg2, 1e-12))
-
-        def branch_fused(layer, cops, dinv, rm):
-            cd_ = e.dtype
-            h = e @ layer["w"].astype(cd_)
-            hm = h * (dinv * rm).astype(cd_)[:, None]
-            agg = gather_sum_composed(hm, cops[0], cops[1])
-            h = (agg * dinv.astype(cd_)[:, None]
-                 + (dinv * dinv).astype(cd_)[:, None] * h
-                 + layer["b"].astype(cd_))
-            h = graph_norm(layer["gn"], h, cfg.eps)
-            h = drop(h, r.dp_2wl)
-            return jax.nn.relu(h)
+        dinv2 = swap(dinv1)
+        cd_ = e.dtype
+        mA = (dinv1 * rm1).astype(cd_)
+        mB = swap(mA)  # == dinv2 * rm2
+        outA = dinv1.astype(cd_)[:, None]
+        outB = dinv2.astype(cd_)[:, None]
+        selfA = (dinv1 * dinv1).astype(cd_)[:, None]
+        selfB = (dinv2 * dinv2).astype(cd_)[:, None]
 
         for i in range(cfg.depth2):
-            e = branch_fused(
-                params["conv2"][i], arrays.e1_cops, dinv1, rm1,
-            ) + branch_fused(
-                params["conv2r"][i], arrays.e2_cops, dinv2, rm2,
-            )
+            lA, lB = params["conv2"][i], params["conv2r"][i]
+            hA = e @ lA["w"].astype(cd_)
+            hB = e @ lB["w"].astype(cd_)
+            h2 = jnp.concatenate(
+                [hA * mA[:, None], swap(hB * mB[:, None])], axis=1)
+            out = gather_sum_composed(
+                h2, arrays.e1_cops[0], arrays.e1_cops[1])
+            hA = out[:, :C2] * outA + selfA * hA + lA["b"].astype(cd_)
+            hB = swap(out[:, C2:]) * outB + selfB * hB + lB["b"].astype(cd_)
+            hA = jax.nn.relu(drop(graph_norm(lA["gn"], hA, cfg.eps),
+                                  r.dp_2wl))
+            hB = jax.nn.relu(drop(graph_norm(lB["gn"], hB, cfg.eps),
+                                  r.dp_2wl))
+            e = hA + hB
     else:
         m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
         m2 = arrays.e2_mask & msg_mask[arrays.e2_src]

@@ -127,6 +127,12 @@ class BucketedEll:
     num_edges: int
     # per bucket: (row_ids [n_b], nbr [n_b, w_b], weight [n_b, w_b] f32)
     buckets: tuple[tuple[np.ndarray, np.ndarray, np.ndarray], ...]
+    # [num_nodes] node -> position in the concat of per-bucket aggregates
+    # (degree-0 nodes -> one zero row past the end): output assembly is a
+    # single gather instead of per-bucket `.set`s — each `.set` copies
+    # the whole [N, F] accumulator, measured 5.2 ms of the 18.1 ms f32
+    # kernel at collab scale (round-5 roofline study, docs/KERNELS.md)
+    inv_perm: np.ndarray = None
 
     @staticmethod
     def build(
@@ -161,6 +167,8 @@ class BucketedEll:
                 width = width * 4 // 3  # 6 -> 8, 12 -> 16, 24 -> 32, ...
         buckets = []
         prev = 0
+        inv_perm = np.full(n, -1, dtype=np.int64)
+        off = 0
         for wd in widths:
             ids = np.where((deg > prev) & (deg <= wd))[0].astype(np.int32)
             prev = wd
@@ -169,8 +177,12 @@ class BucketedEll:
             buckets.append(
                 (ids, nbr[ids, :wd].copy(), w[ids, :wd].copy())
             )
+            inv_perm[ids] = off + np.arange(len(ids))
+            off += len(ids)
+        inv_perm[inv_perm < 0] = off  # degree-0 rows -> the zero row
         return BucketedEll(
-            num_nodes=n, num_edges=int(deg.sum()), buckets=tuple(buckets)
+            num_nodes=n, num_edges=int(deg.sum()), buckets=tuple(buckets),
+            inv_perm=inv_perm.astype(np.int32),
         )
 
     @staticmethod
@@ -182,10 +194,11 @@ class BucketedEll:
         return BucketedEll.build(g.nbr, g.nbr_mask, g.nbr_weight)
 
     def operands(self):
-        """Flat tuple of device-shippable arrays for jitted `spmm_bucketed`."""
+        """Flat tuple of device-shippable arrays for jitted
+        `spmm_bucketed`: (inv_perm, *(ids, nbr, weight) triples)."""
         import jax.numpy as jnp
 
-        out = []
+        out = [jnp.asarray(self.inv_perm)]
         for ids, nb, w in self.buckets:
             out.extend((jnp.asarray(ids), jnp.asarray(nb), jnp.asarray(w)))
         return tuple(out)
@@ -194,18 +207,20 @@ class BucketedEll:
 def spmm_bucketed(x: jnp.ndarray, num_nodes: int, *operands) -> jnp.ndarray:
     """out[i] = sum_d w[i, d] * x[nbr[i, d]] over a `BucketedEll` layout.
 
-    `operands` is `BucketedEll.operands()` splatted: (ids, nbr, weight)
-    triples. Weights arrive f32; they are cast to `x.dtype` so the whole
-    aggregation runs in the feature dtype (bf16 halves gather bytes — the
-    measured fast path at scale). Jit-safe: bucket count/shapes are static.
+    `operands` is `BucketedEll.operands()` splatted: inv_perm followed by
+    (ids, nbr, weight) triples. Weights arrive f32; they are cast to
+    `x.dtype` so the whole aggregation runs in the feature dtype (bf16
+    halves gather bytes — the measured fast path at scale). Jit-safe:
+    bucket count/shapes are static.
     """
     # f32 einsums otherwise lower to bf16 MXU passes (~1e-2 abs error on
     # high-degree rows, observed on v5e); bf16 inputs keep the fast default
     prec = (jax.lax.Precision.HIGHEST
             if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
-    out = jnp.zeros((num_nodes, x.shape[1]), x.dtype)
+    inv_perm, operands = operands[0], operands[1:]
+    parts = []
     for i in range(0, len(operands), 3):
-        ids, nb, w = operands[i], operands[i + 1], operands[i + 2]
+        nb, w = operands[i + 1], operands[i + 2]
         # FLAT 1-D index gather then reshape: XLA-on-TPU's fast gather path
         # wants a 2-D operand with 1-D indices; the 2-D-index form `x[nb]`
         # measures 2-5% slower in both dtypes at collab scale
@@ -213,11 +228,14 @@ def spmm_bucketed(x: jnp.ndarray, num_nodes: int, *operands) -> jnp.ndarray:
         # irrelevant (einsum vs VPU multiply-reduce measured identical) —
         # the op is bound by slot-row traffic, not FLOPs.
         g = x[nb.reshape(-1)].reshape(*nb.shape, x.shape[1])
-        agg = jnp.einsum("nd,ndf->nf", w.astype(x.dtype), g,
-                         precision=prec)
-        out = out.at[ids].set(agg, unique_indices=True,
-                              indices_are_sorted=True)
-    return out
+        parts.append(jnp.einsum("nd,ndf->nf", w.astype(x.dtype), g,
+                                precision=prec))
+    # scatter-free assembly: one inverse-permutation gather over the
+    # concat of bucket aggregates (bit-identical to per-bucket `.set`s,
+    # f32 18.1 -> 14.7 ms at collab scale — each `.set` copies the whole
+    # [N, F] accumulator; round-5 roofline study, docs/KERNELS.md)
+    parts.append(jnp.zeros((1, x.shape[1]), x.dtype))
+    return jnp.concatenate(parts, axis=0)[inv_perm]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -203,11 +203,13 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
         a2 = spmm_sym(h, stacked_)
         return a2 @ p["w2"].astype(dtype) + h @ p["w2s"].astype(dtype)
 
+    from linkpred_tpu.ops.sddmm import sddmm_coo
+
     def loss_fn(p, pos, neg, stacked_):
         h = embed_all(p, stacked_)
         logits = jnp.concatenate([
-            jnp.sum(h[pos[:, 0]] * h[pos[:, 1]], axis=-1),
-            jnp.sum(h[neg[:, 0]] * h[neg[:, 1]], axis=-1),
+            sddmm_coo(pos[:, 0], pos[:, 1], h),
+            sddmm_coo(neg[:, 0], neg[:, 1], h),
         ]).astype(jnp.float32)
         y = jnp.concatenate([jnp.ones((B,)), jnp.zeros((B,))])
         return optax.sigmoid_binary_cross_entropy(logits, y).mean()
@@ -227,8 +229,7 @@ def train_collab(cfg: ScaleGCNConfig = ScaleGCNConfig(), mesh=None,
     @jax.jit
     def test_logits(p, pairs, *stacked_):
         h = embed_all(p, stacked_)
-        return jnp.sum(h[pairs[:, 0]] * h[pairs[:, 1]], axis=-1).astype(
-            jnp.float32)
+        return sddmm_coo(pairs[:, 0], pairs[:, 1], h).astype(jnp.float32)
 
     from linkpred_tpu.utils.profiling import ThroughputCounter
 

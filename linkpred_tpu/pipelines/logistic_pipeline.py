@@ -98,7 +98,12 @@ def run_logistic(
         y = np.concatenate(
             [np.ones(len(pos_pairs)), np.zeros(len(neg_pairs))]
         )
-        x = emb[pairs[:, 0]] + emb[pairs[:, 1]]
+        # pair features = endpoint-embedding sum (`ops.sddmm.edge_sum`,
+        # reference `feature_extraction.py:19-23`); emb is host numpy
+        # here so the primitive's jnp form is applied via numpy broadcast
+        from linkpred_tpu.ops.sddmm import edge_sum
+
+        x = np.asarray(edge_sum(pairs[:, 0], pairs[:, 1], emb))
 
     with timer.span("compile(warm-up)"):
         # compile the Newton solve/predict at the real shapes so the timed

@@ -267,18 +267,33 @@ def refine_vmapped(
     lrs = np.asarray(
         rng.choice(SEARCH_SPACE["lr"], size=n_trials)
     ).astype(np.float32)
-    rates = m.TrialRates(
-        dp_emb=jnp.asarray(rng.choice(SEARCH_SPACE["dp_emb"], n_trials), jnp.float32),
-        dp_1wl0=jnp.asarray(rng.choice(SEARCH_SPACE["dp_1wl0"], n_trials), jnp.float32),
-        dp_1wl1=jnp.asarray(rng.choice(SEARCH_SPACE["dp_1wl1"], n_trials), jnp.float32),
-        dp_2wl=jnp.asarray(rng.choice(SEARCH_SPACE["dp_2wl"], n_trials), jnp.float32),
+    rates_np = {
+        f: np.asarray(rng.choice(SEARCH_SPACE[f], n_trials), np.float32)
+        for f in m.TrialRates._fields
+    }
+    best_params, best_aucs = _train_trial_batch(
+        data, cfg, run, key, rng, lrs, rates_np, verbose)
+    return _finish_refine(
+        data, cfg, best_params, best_aucs, lrs,
+        m.TrialRates(**{f: jnp.asarray(v) for f, v in rates_np.items()}),
+        verbose,
     )
 
-    # unit-lr Adam; per-trial lr is applied by scaling its updates
-    # (Adam's direction is gradient-scale invariant, so this IS per-trial
-    # Adam — see models.twowl.train_step_trials)
-    optimizer = optax.adam(1.0)
 
+def _train_trial_batch(data, cfg, run, key, rng, lrs, rates_np,
+                       verbose=False):
+    """Train one trial-major batch (lrs [T] + rates dict of [T]) for the
+    full chunked schedule; returns (best_params trial-major, best_aucs).
+
+    Unit-lr Adam with per-trial lr applied as an update scale (Adam's
+    direction is gradient-scale invariant, so this IS per-trial Adam —
+    see models.twowl.train_step_trials). Chunked for the axon worker's
+    60 s single-program limit; the explicit initial best avoids a
+    None-vs-tuple recompile on chunk 2."""
+    n_trials = len(lrs)
+    rates = m.TrialRates(**{
+        f: jnp.asarray(v, jnp.float32) for f, v in rates_np.items()})
+    optimizer = optax.adam(1.0)
     key, k_init = jax.random.split(key)
     params = m.init_params_trials(k_init, cfg, n_trials)
     opt_state = optimizer.init(params)
@@ -296,8 +311,6 @@ def refine_vmapped(
         [rng.permutation(n_neg_pairs)[:P] for _ in range(E)]
     ).astype(np.int32))
 
-    # chunk the sweep scan (axon worker 60 s single-program limit);
-    # explicit initial best avoids a None-vs-tuple recompile on chunk 2
     chunk = min(E, run.chunk_epochs)
     best = (params, jnp.full((n_trials,), -1.0, jnp.float32))
     val_y = jnp.asarray(data.val.y)
@@ -318,11 +331,7 @@ def refine_vmapped(
             print(f"  refine epochs {start:4d}-{stop:<4d} "
                   f"best val {a.max():.4f} (median {np.median(a):.4f} "
                   f"over {n_trials} trials)", flush=True)
-    best_params, best_aucs = best
-
-    return _finish_refine(
-        data, cfg, best_params, best_aucs, lrs, rates, verbose
-    )
+    return best
 
 
 def refine_halving(
@@ -433,6 +442,90 @@ def refine_halving(
     )
     res["configs_inspected"] = int(n_trials)
     res["survivors"] = alive.tolist()
+    return res
+
+
+def refine_adaptive(
+    data: TwoWLData,
+    cfg: m.TwoWLConfig,
+    run: TwoWLRunConfig,
+    n_trials: int = 32,
+    n_batches: int = 4,
+    gamma: float = 0.25,
+    explore: float = 0.2,
+    key=None,
+    rng: np.random.Generator | None = None,
+    verbose: bool = False,
+) -> dict:
+    """Model-based (TPE-class) refinement — closes the last HPO delta vs
+    the reference's Optuna TPE sampler (`TwoWL_work.py:112-132`): later
+    trials are sampled from a density model of the GOOD observed configs
+    instead of uniformly.
+
+    Mechanics: `n_batches` trial-major rounds of `n_trials / n_batches`
+    configurations, each trained on the full schedule in one compiled
+    program. Round 1 samples uniformly; every later round samples each
+    dimension, with probability `1 - explore`, from a grid-KDE over the
+    top-`gamma` quantile of all observed configs (pick a good config's
+    grid value, then move one grid step with prob 0.3 — the discrete
+    analog of TPE's l(x) kernel), else uniformly (the g(x) exploration
+    floor). A/B against flat and halving: `benchmarks/halving.py`.
+    """
+    key = key if key is not None else jax.random.PRNGKey(run.seed)
+    rng = rng or np.random.default_rng(run.seed + 17)
+    dims = ("lr",) + m.TrialRates._fields
+    grids = {d: np.asarray(SEARCH_SPACE[d], np.float32) for d in dims}
+    seen_idx: list[np.ndarray] = []  # per-trial grid indices [len(dims)]
+    seen_auc: list[float] = []
+    batches = []
+
+    def sample_round(nb):
+        if not seen_auc:
+            return np.stack([
+                rng.integers(0, len(grids[d]), nb) for d in dims], axis=1)
+        order = np.argsort(-np.asarray(seen_auc))
+        good = np.stack([seen_idx[i] for i in
+                         order[:max(1, int(len(order) * gamma))]])
+        out = np.zeros((nb, len(dims)), np.int64)
+        for t in range(nb):
+            for j, d in enumerate(dims):
+                if rng.random() < explore:
+                    out[t, j] = rng.integers(0, len(grids[d]))
+                else:
+                    v = good[rng.integers(len(good)), j]
+                    if rng.random() < 0.3:
+                        v = np.clip(v + rng.choice([-1, 1]), 0,
+                                    len(grids[d]) - 1)
+                    out[t, j] = v
+        return out
+
+    nb = max(1, n_trials // n_batches)
+    for b in range(n_batches):
+        idx = sample_round(nb)
+        lrs = grids["lr"][idx[:, 0]]
+        rates_np = {d: grids[d][idx[:, j + 1]]
+                    for j, d in enumerate(m.TrialRates._fields)}
+        key, k_b = jax.random.split(key)
+        best_p, best_a = _train_trial_batch(
+            data, cfg, run, k_b, rng, lrs, rates_np, verbose)
+        aucs = np.asarray(best_a)
+        for t in range(nb):
+            seen_idx.append(idx[t])
+            seen_auc.append(float(aucs[t]))
+        batches.append((float(aucs.max()), best_p, best_a, lrs, rates_np))
+        if verbose:
+            print(f"  adaptive round {b + 1}/{n_batches}: best val "
+                  f"{aucs.max():.4f} median {np.median(aucs):.4f}",
+                  flush=True)
+
+    _, best_p, best_a, lrs, rates_np = max(batches, key=lambda r: r[0])
+    res = _finish_refine(
+        data, cfg, best_p, best_a, lrs,
+        m.TrialRates(**{f: jnp.asarray(v) for f, v in rates_np.items()}),
+        verbose,
+    )
+    res["configs_inspected"] = len(seen_auc)
+    res["round_best_vals"] = [round(b[0], 4) for b in batches]
     return res
 
 
@@ -611,8 +704,9 @@ def run_twowl(
                     "cfg": cfg, "trial": trial}
 
     if refine_trials > 0:
-        refine_fn = (refine_halving if refine_mode == "halving"
-                     else refine_vmapped)
+        refine_fn = {"halving": refine_halving,
+                     "adaptive": refine_adaptive}.get(refine_mode,
+                                                      refine_vmapped)
         with timer.span(f"refine[{refine_mode}] x{refine_trials}"):
             ref = refine_fn(
                 data, best["cfg"], run, n_trials=refine_trials,

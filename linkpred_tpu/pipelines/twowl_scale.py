@@ -32,11 +32,17 @@ class ScaleTwoWLConfig:
     edges: int = 250_000
     graph: str = "community"  # or "powerlaw"
     max_degree: int = 32
-    ei2_cap_per_node: int | None = 256  # None = exact ei2 (small graphs)
-    epochs: int = 48
-    # chunk small: the axon worker kills any single device program at
-    # ~60 s wall, and a 50k-node epoch costs ~1-2 s on the chip
-    chunk_epochs: int = 8
+    # per-node ei2 product budget; None = exact. 128 is the measured
+    # sweet spot (benchmarks/twowl_cap_study.py, logs/twowl_cap_study.json:
+    # AUC delta vs exact -0.0024 at 8k where exact is tractable, -0.0005
+    # vs cap-256 at 50k, for 1.3x step throughput; cap 64 loses -0.014)
+    ei2_cap_per_node: int | None = 128
+    epochs: int = 96
+    # chunk bound: the axon worker kills any single device program at
+    # ~60 s wall; a 50k-node epoch costs ~0.43 s (paired fused path), so
+    # 16-epoch chunks stay well inside the limit while amortizing the
+    # per-chunk host round-trips
+    chunk_epochs: int = 16
     early_stop: int = 800
     # val AUC every k-th epoch (1 = reference's every-epoch cadence);
     # at scale the val forward costs as much as a train epoch, so 4 buys

@@ -318,6 +318,28 @@ class TestVmappedRefine:
         assert set(res["winner"]) == {"lr", "dp_emb", "dp_1wl0", "dp_1wl1", "dp_2wl"}
 
 
+class TestAdaptiveRefine:
+    def test_adaptive_rounds_and_selects(self, toy_data):
+        """The TPE-class sampler must run its rounds, resample from the
+        observed top quantile, and return the standard refine result."""
+        from linkpred_tpu.pipelines.twowl_pipeline import (
+            TwoWLRunConfig, refine_adaptive,
+        )
+
+        d = toy_data
+        cfg = m.TwoWLConfig(max_degree=d.max_degree, channels_1wl=8,
+                            channels_2wl=8, depth1=1, depth2=1)
+        res = refine_adaptive(d, cfg, TwoWLRunConfig(epochs=8),
+                              n_trials=6, n_batches=3)
+        assert res["configs_inspected"] == 6
+        assert len(res["round_best_vals"]) == 3
+        assert res["best_val"] == pytest.approx(
+            max(res["round_best_vals"]), abs=1e-4)
+        assert 0.0 <= res["test_auc"] <= 1.0
+        assert set(res["winner"]) == {
+            "lr", "dp_emb", "dp_1wl0", "dp_1wl1", "dp_2wl"}
+
+
 class TestTrialMajor:
     def test_forward_trials_matches_single(self, rng):
         """Trial-major forward must equal the single-trial forward per
@@ -480,8 +502,8 @@ class TestComposedFused:
                             dp_2wl=0.0)
         params = m.init_params(jax.random.PRNGKey(0), cfg)
         arrays = m.SplitArrays.from_split(d.train)
-        assert arrays.e1_cops and arrays.e2_cops
-        arrays_plan = arrays._replace(e1_cops=(), e2_cops=())
+        assert arrays.e1_cops  # dir 2 rides the parity pairing
+        arrays_plan = arrays._replace(e1_cops=())
         num_msg = d.train.num_msg
         rng = np.random.default_rng(7)
         rem = np.zeros(num_msg, bool)
