@@ -28,6 +28,8 @@ import numpy as np
 
 
 def main():
+    from linkpred_tpu.utils.device import honor_platform_env
+    honor_platform_env()
     import jax
 
     from linkpred_tpu.data import io, split as sp

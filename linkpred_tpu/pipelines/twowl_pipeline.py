@@ -103,6 +103,9 @@ def train_routine(
     # round-2 records were ~10x off because the first new-best epoch's
     # timed eval included the jit compile.
     evaluate(params, cfg, data, data.test)
+    from linkpred_tpu.utils.progress import LiveProgress
+
+    progress = LiveProgress(run.epochs, label="twowl") if verbose else None
     for epoch in range(run.epochs):
         pos_ids = jnp.asarray(
             rng.permutation(n_pos_pairs)[:P].astype(np.int32)
@@ -116,6 +119,10 @@ def train_routine(
             trn, cfg, optimizer, data.num_nodes,
         )
         val_auc, _ = evaluate(params, cfg, data, data.val)
+        if progress is not None:
+            # live progress + loss/val charts — the reference's
+            # in-training Streamlit surface (`TwoWL_work.py:119-129`)
+            progress.update(epoch + 1, loss=float(loss), auc=val_auc)
         since_best += 1
         if val_auc > best_val:
             best_val, since_best = val_auc, 0
@@ -191,6 +198,9 @@ def train_routine_fused(
     hists = []
     val_y = jnp.asarray(data.val.y)
     node_deg = jnp.asarray(data.node_deg)
+    from linkpred_tpu.utils.progress import LiveProgress
+
+    progress = LiveProgress(E, label="twowl-fused") if verbose else None
     for start in range(0, E, chunk):
         stop = min(start + chunk, E)
         key, k_scan = jax.random.split(key)
@@ -204,8 +214,12 @@ def train_routine_fused(
         best = (best_p, best_a, since)
         hists.append(h)
         if verbose:
-            loss_c = float(jnp.mean(h[0]))
-            val_c = float(h[1][-1])
+            loss_np, auc_np = np.asarray(h[0]), np.asarray(h[1])
+            for k in range(len(loss_np)):
+                progress.update(start + k + 1, loss=float(loss_np[k]),
+                                auc=float(auc_np[k]))
+            loss_c = float(loss_np.mean())
+            val_c = float(auc_np[-1])
             print(f"  epochs {start:4d}-{stop:<4d} loss {loss_c:.4f} "
                   f"val {val_c:.4f} best {float(best_a):.4f}", flush=True)
         if int(since) > run.early_stop:

@@ -210,6 +210,9 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
     node_deg = (jnp.arange(data.num_nodes, dtype=jnp.int32) if free
                 else jnp.asarray(data.node_deg))
     chunk = min(E, cfg.chunk_epochs)
+    from linkpred_tpu.utils.progress import LiveProgress
+
+    progress = LiveProgress(E, label="twowl-scale") if verbose else None
     best = (params, jnp.float32(0.0), jnp.int32(0))
     hists = []
     t0 = time.time()
@@ -249,6 +252,12 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
         best = (best_p, best_a, since)
         hists.append(np.asarray(h[0]))
         if verbose:
+            # live surface (reference's in-training progress + line
+            # charts, `TwoWL_work.py:119-129`): per-epoch loss series of
+            # the finished chunk + the running best-val sparkline
+            for k, lv in enumerate(hists[-1]):
+                progress.update(start + k + 1, loss=float(lv))
+            progress.update(stop, auc=float(best_a))
             print(f"  epochs {start:3d}-{stop:<3d} loss "
                   f"{float(np.mean(hists[-1])):.4f} best val "
                   f"{float(best_a):.4f} [+{time.time() - tc0:.1f}s]",
