@@ -281,14 +281,17 @@ def choose_backend_1wl(
     num_rows: int, num_slots: int, platform: str | None = None
 ) -> str:
     """Regime rule for message-aggregation inside GCN layers (the TwoWL
-    1-WL stack): 'pallas' (one-hot MXU, `segment_sum_onehot`) when the
-    slot count fits a VMEM one-hot tile on a real TPU, else 'plan'
-    (scatter-free bucketed gathers, `segment_sum_planned`). The 2-WL ei2
-    structures (~80k slots at fb-pages-food scale) always dispatch to
-    'plan'. Measured A/B on the chip: bench.py `twowl_1wl_agg_*`."""
-    platform = platform or jax.devices()[0].platform
-    if platform == "tpu" and num_slots <= ONEHOT_MAX_SLOTS:
-        return "pallas"
+    1-WL stack). RESOLVED 'plan' everywhere as of round 5: the one-hot
+    MXU kernel (`segment_sum_onehot` / `spmm_ell_pallas`) was re-A/B'd
+    on the current jax 0.9 TPU runtime IN its own claimed regime
+    (fb-pages-food, 3.5k slots) and LOSES — raw aggregation 0.75 ms vs
+    sub-dispatch-floor for the planned path, end-to-end forward 25.4 vs
+    24.0 ms. XLA's plain-gather lowering improved past every manual
+    Pallas formulation this framework tried (docs/KERNELS.md, "Pallas
+    verdict"); the kernels remain available via
+    `TwoWLConfig(agg_1wl='pallas')` / `spmm_auto(force=...)` for
+    regression measurement."""
+    del num_rows, num_slots, platform
     return "plan"
 
 
