@@ -166,7 +166,8 @@ def gate_node_sharded_multi(nodes=100_000, edges=600_000):
             flags + " --xla_force_host_platform_device_count=8").strip()
     proc = subprocess.run(
         [sys.executable, "benchmarks/scaling.py", "--mesh-only",
-         "--nodes", str(nodes), "--edges", str(edges)],
+         "--nodes", str(nodes), "--edges", str(edges),
+         "--chain-k", "12"],  # ratios, not absolutes: 12 chained iters
         capture_output=True, text=True, timeout=480, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -347,7 +348,10 @@ def gate_twowl_scale():
         run_twowl_scale,
     )
 
-    res = run_twowl_scale(ScaleTwoWLConfig(), verbose=False)
+    # 64 epochs: the curve reaches ~0.92 val by then (vs 0.925 at the
+    # 96-epoch default) and the gate stays inside the driver budget even
+    # on a cold compilation cache
+    res = run_twowl_scale(ScaleTwoWLConfig(epochs=64), verbose=False)
     if not res["loss_decreased"]:
         raise RuntimeError(f"twowl scale DIVERGED: {json.dumps(res)}")
     res["meets_auc_0p85_gate"] = bool(res["test_auc"] >= 0.85)

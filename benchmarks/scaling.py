@@ -170,6 +170,9 @@ def main():
     ap.add_argument("--train-e2e", action="store_true",
                     help="ONLY run the end-to-end collab-scale GCN training "
                          "(pipelines.gcn_scale) and print its JSON")
+    ap.add_argument("--chain-k", type=int, default=20,
+                    help="chained iterations per timing in the mesh-only "
+                         "measurements (lower = faster gate, same ratio)")
     ap.add_argument("--mesh-only", action="store_true",
                     help="ONLY run the node-sharded mesh SpMM scaling "
                          "measurement and print its JSON (used by bench.py "
@@ -199,16 +202,17 @@ def main():
         x = jnp.asarray(np.random.default_rng(2).standard_normal(
             (args.nodes, args.feats)).astype(np.float32))
         layout = spmm.BucketedEll.from_graph(g)
+        kk = args.chain_k
         eps_1 = e_directed / bench_chained(
             lambda x, *ops: spmm.spmm_bucketed(x, args.nodes, *ops),
-            x, *layout.operands())
+            x, *layout.operands(), k=kk)
         n_shards = len(jax.devices())
         mesh_all = make_mesh(shape=(1, n_shards))
         rows, _, stacked = build_node_sharded_buckets(g, n_shards)
         stacked_j = tuple(jnp.asarray(a) for a in stacked)
         dt = bench_chained(
             lambda x, *ops: spmm_node_sharded(
-                mesh_all, x, args.nodes, rows, *ops), x, *stacked_j)
+                mesh_all, x, args.nodes, rows, *ops), x, *stacked_j, k=kk)
         eps = e_directed / dt
         note = ("virtual CPU mesh: all shards share ONE host's "
                 "memory bandwidth and the 1-'device' baseline "
@@ -251,11 +255,12 @@ def main():
                 eps_base = gr.num_edges / bench_chained(
                     lambda x, *ops: spmm.spmm_bucketed(x, gr.num_nodes,
                                                        *ops),
-                    xx.astype(dt), *layout_single.operands())
+                    xx.astype(dt), *layout_single.operands(), k=kk)
                 dt_h = bench_chained(
                     lambda x, *ops: spmm_halo(
                         mesh_all, x, gr.num_nodes, lay.rows_per_shard,
-                        lay.ghost_capacity, *ops), xd, *lay.operands())
+                        lay.ghost_capacity, *ops), xd, *lay.operands(),
+                    k=kk)
                 eps_h = gr.num_edges / dt_h
                 bpe = 4 if dt == jnp.float32 else 2
                 halo_bytes = lay.collective_bytes_per_layer(
