@@ -148,11 +148,16 @@ def bench_chained(step, x0, *ops, k: int = 20, iters: int = 2) -> float:
 
     floor = _dispatch_floor()
     float(jnp.sum(run_k(x0, *ops)))  # warm/compile
-    t0 = time.perf_counter()
+    # MIN of the repeats, not the mean: the standard interference-robust
+    # timing estimator — on the shared-host virtual mesh a background
+    # process inflates individual repeats by 10-20%, and ratios of two
+    # mean-timings flapped +-0.08 run to run (round-5 halo gates)
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         float(jnp.sum(run_k(x0, *ops)))
-    per_call = (time.perf_counter() - t0) / iters
-    return max(per_call - floor, 1e-9) / k
+        best = min(best, time.perf_counter() - t0)
+    return max(best - floor, 1e-9) / k
 
 
 def main():
@@ -246,30 +251,31 @@ def main():
                    "ghost_capacity_rows": lay.ghost_capacity,
                    "hub_rows": lay.num_hubs,
                    "note": note}
-            # f32 (the numerics-default path) AND bf16 (the dtype the
-            # scale training pipelines actually exchange — gcn_scale
-            # default dtype=bf16 — with half the collective payload);
-            # each ratio uses its own-dtype single-device baseline
-            for dt, suffix in ((jnp.float32, ""), (jnp.bfloat16, "_bf16")):
-                xd = x_new.astype(dt)
-                eps_base = gr.num_edges / bench_chained(
-                    lambda x, *ops: spmm.spmm_bucketed(x, gr.num_nodes,
-                                                       *ops),
-                    xx.astype(dt), *layout_single.operands(), k=kk)
+            # f32 end to end (the numerics-default path) AND f32 compute
+            # with bf16 EXCHANGE — the standard activation-compression
+            # move over ICI/DCN that the bf16-training pipelines get for
+            # free (gcn_scale default dtype=bf16), measured here without
+            # the virtual-CPU-mesh bf16-emulation compute penalty. Both
+            # ratios share the f32 single-device baseline (same compute
+            # dtype).
+            eps_base = gr.num_edges / bench_chained(
+                lambda x, *ops: spmm.spmm_bucketed(x, gr.num_nodes, *ops),
+                xx, *layout_single.operands(), k=kk, iters=3)
+            for xdt, suffix in ((None, ""), (jnp.bfloat16, "_xbf16")):
                 dt_h = bench_chained(
                     lambda x, *ops: spmm_halo(
                         mesh_all, x, gr.num_nodes, lay.rows_per_shard,
-                        lay.ghost_capacity, *ops), xd, *lay.operands(),
-                    k=kk)
+                        lay.ghost_capacity, *ops, exchange_dtype=xdt),
+                    x_new, *lay.operands(), k=kk, iters=3)
                 eps_h = gr.num_edges / dt_h
-                bpe = 4 if dt == jnp.float32 else 2
+                bpe = 2 if xdt is not None else 4
                 halo_bytes = lay.collective_bytes_per_layer(
                     args.feats, dtype_bytes=bpe)
-                full_bytes = gr.num_nodes * args.feats * bpe
+                full_bytes = gr.num_nodes * args.feats * 4
                 rec.update({
                     f"edges_per_s{suffix}": round(eps_h),
                     f"seconds{suffix}": round(dt_h, 4),
-                    f"single_device_edges_per_s{suffix}": round(eps_base),
+                    "single_device_edges_per_s": round(eps_base),
                     f"vs_whole_machine_single{suffix}":
                         round(eps_h / eps_base, 3),
                     f"collective_bytes_per_device_layer{suffix}":

@@ -118,6 +118,10 @@ class HaloLayout:
     hub_send: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((1, 1), np.int32))
     num_hubs: int = 0  # total replicated rows (diagnostic)
+    # [S, rows] local row -> position in the concat of bucket aggregates
+    # (scatter-free output assembly; uncovered rows -> the zero row)
+    out_inv: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 1), np.int32))
 
     def collective_bytes_per_layer(self, feats: int, dtype_bytes: int = 4):
         """Collective payload per device per aggregation: the pairwise
@@ -379,6 +383,11 @@ class HaloLayout:
                          for b in lay.buckets})
         stacked = []
         pad_rows = 1
+        # per-shard local-row -> concat-of-bucket-aggregates position (the
+        # scatter-free assembly of ops.spmm.spmm_bucketed carried into the
+        # shard-local kernel; uncovered rows -> the appended zero row)
+        offset = 0
+        out_inv = np.full((n_shards, rows), -1, np.int64)
         for wd in widths:
             sizes = [next((b[0].shape[0] for b in lay.buckets
                            if b[1].shape[1] == wd), 0) for lay in per_shard]
@@ -397,21 +406,25 @@ class HaloLayout:
                     ids_s[k, :m] = ids
                     nbr_s[k, :m] = nb
                     wgt_s[k, :m] = wg
+                    out_inv[k, ids] = offset + np.arange(m)
                 # padding rows write past the block — unique + sorted
                 ids_s[k, m:] = rows + np.arange(m_max - m, dtype=np.int32)
+            offset += m_max
             stacked.extend((ids_s, nbr_s, wgt_s))
+        out_inv[out_inv < 0] = offset  # zero row
         return HaloLayout(
             num_nodes=n, n_shards=n_shards, rows_per_shard=rows,
             ghost_capacity=cap, order=order, inv_perm=inv,
             send_idx=send_idx, stacked=tuple(stacked), pad_rows=pad_rows,
             edge_cut=cut, hub_capacity=hub_cap, hub_send=hub_send,
-            num_hubs=num_hubs,
+            num_hubs=num_hubs, out_inv=out_inv.astype(np.int32),
         )
 
     def operands(self):
-        """Device-array tuple: (send_idx, hub_send, *stacked)."""
+        """Device-array tuple: (send_idx, hub_send, out_inv, *stacked)."""
         return (jnp.asarray(self.send_idx),
-                jnp.asarray(self.hub_send)) + tuple(
+                jnp.asarray(self.hub_send),
+                jnp.asarray(self.out_inv)) + tuple(
             jnp.asarray(a) for a in self.stacked)
 
 
@@ -423,8 +436,15 @@ def spmm_halo(
     ghost_capacity: int,
     *ops,  # HaloLayout.operands()
     axis: str = "edge",
+    exchange_dtype=None,
 ) -> jnp.ndarray:
     """Boundary-exchange node-sharded SpMM (module docstring).
+
+    `exchange_dtype` (e.g. jnp.bfloat16) compresses ONLY the collective
+    payloads (ghost all_to_all + hub all_gather) — the standard
+    activation-compression move over ICI/DCN; local compute stays in
+    `x.dtype`, so boundary rows pass through one rounding while owned
+    rows are exact. None = exchange in `x.dtype`.
 
     Returns [num_nodes, F] in relabeled order, row-sharded over `axis`.
     """
@@ -432,33 +452,37 @@ def spmm_halo(
     rows, cap = rows_per_shard, ghost_capacity
     pad_total = rows * s
 
-    def local(x_l, send_idx, hub_send, *buckets):
+    def local(x_l, send_idx, hub_send, out_inv, *buckets):
         send_idx = send_idx[0]  # [S, C]... sharded leading dim
         hub_idx = hub_send[0]  # [H] this shard's hub rows (H may be 0)
         f = x_l.shape[1]
-        send = x_l[send_idx.reshape(-1)].reshape(s, cap, f)
+        xd = exchange_dtype or x_l.dtype
+        send = x_l[send_idx.reshape(-1)].astype(xd).reshape(s, cap, f)
         ghosts = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=True)
-        parts = [x_l, ghosts.reshape(s * cap, f)]
+        parts = [x_l, ghosts.reshape(s * cap, f).astype(x_l.dtype)]
         if hub_idx.shape[0]:
             # hub replicas: every shard broadcasts its owned hub rows
             # once — O(num_hubs * F) receive volume regardless of reader
             # fan-out. Statically skipped when nothing is replicated
             # (an empty all_gather still pays per-call sync latency).
             parts.append(jax.lax.all_gather(
-                x_l[hub_idx], axis, axis=0, tiled=True))
+                x_l[hub_idx].astype(xd), axis, axis=0,
+                tiled=True).astype(x_l.dtype))
         table = jnp.concatenate(parts, axis=0)
-        pad = max(b.shape[1] for b in buckets[::3])
-        out = jnp.zeros((rows + pad, f), x_l.dtype)
         prec = (jax.lax.Precision.HIGHEST
                 if x_l.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        aggs = []
         for i in range(0, len(buckets), 3):
-            ids, nb, wg = buckets[i][0], buckets[i + 1][0], buckets[i + 2][0]
-            agg = jnp.einsum("nd,ndf->nf", wg.astype(x_l.dtype), table[nb],
-                             precision=prec)
-            out = out.at[ids].set(agg, unique_indices=True,
-                                  indices_are_sorted=True)
-        return out[:rows]
+            nb, wg = buckets[i + 1][0], buckets[i + 2][0]
+            g = table[nb.reshape(-1)].reshape(*nb.shape, f)
+            aggs.append(jnp.einsum("nd,ndf->nf", wg.astype(x_l.dtype), g,
+                                   precision=prec))
+        # scatter-free assembly (ops.spmm.spmm_bucketed): one inverse-
+        # permutation gather instead of per-bucket `.set` copies of the
+        # whole local accumulator
+        aggs.append(jnp.zeros((1, f), x_l.dtype))
+        return jnp.concatenate(aggs, axis=0)[out_inv[0]]
 
     in_specs = (P(axis),) * (1 + len(ops))
     fn = shard_map(local, mesh=mesh, in_specs=(P(axis),) + in_specs[:-1],

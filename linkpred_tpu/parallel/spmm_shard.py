@@ -97,6 +97,11 @@ def build_node_sharded_buckets(g, n_shards: int):
     # unify bucket width sets across shards
     widths = sorted({nb.shape[1] for lay in per_shard for _, nb, _ in lay.buckets})
     stacked = []
+    # per-shard local-row -> concat-of-bucket-aggregates position (the
+    # scatter-free assembly of ops.spmm.spmm_bucketed; uncovered rows ->
+    # the appended zero row); shipped as the FIRST stacked operand
+    out_inv = np.full((n_shards, rows), -1, np.int64)
+    offset = 0
     for wd in widths:
         sizes = []
         for lay in per_shard:
@@ -116,10 +121,13 @@ def build_node_sharded_buckets(g, n_shards: int):
                 ids_s[k, :m] = ids
                 nbr_s[k, :m] = nb
                 wgt_s[k, :m] = wg
+                out_inv[k, ids] = offset + np.arange(m)
             # padding rows target rows beyond the block -> unique + sorted
             ids_s[k, m:] = rows + np.arange(m_max - m, dtype=np.int32)
+        offset += m_max
         stacked.extend((ids_s, nbr_s, wgt_s))
-    return rows, widths, tuple(stacked)
+    out_inv[out_inv < 0] = offset
+    return rows, widths, (out_inv.astype(np.int32),) + tuple(stacked)
 
 
 def spmm_node_sharded(
@@ -143,19 +151,20 @@ def spmm_node_sharded(
     n_shards = mesh.shape[axis]
     pad_rows = rows_per_shard * n_shards
 
-    def local(x_rep, *ops):
-        # extra row region absorbs padding-row writes
-        out = jnp.zeros((rows_per_shard + max(r.shape[1] for r in ops[::3]),
-                         x_rep.shape[1]), x_rep.dtype)
+    def local(x_rep, out_inv, *ops):
         prec = (jax.lax.Precision.HIGHEST
                 if x_rep.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        f = x_rep.shape[1]
+        aggs = []
         for i in range(0, len(ops), 3):
-            ids, nb, wg = ops[i][0], ops[i + 1][0], ops[i + 2][0]
-            agg = jnp.einsum("nd,ndf->nf", wg.astype(x_rep.dtype), x_rep[nb],
-                             precision=prec)
-            out = out.at[ids].set(agg, unique_indices=True,
-                                  indices_are_sorted=True)
-        return out[:rows_per_shard]
+            nb, wg = ops[i + 1][0], ops[i + 2][0]
+            g = x_rep[nb.reshape(-1)].reshape(*nb.shape, f)
+            aggs.append(jnp.einsum("nd,ndf->nf", wg.astype(x_rep.dtype), g,
+                                   precision=prec))
+        # scatter-free assembly (ops.spmm.spmm_bucketed): inverse-perm
+        # gather instead of per-bucket `.set` copies of the accumulator
+        aggs.append(jnp.zeros((1, f), x_rep.dtype))
+        return jnp.concatenate(aggs, axis=0)[out_inv[0]]
 
     in_specs = (P(),) + (P(axis),) * len(stacked)
     fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
@@ -196,21 +205,23 @@ def spmm_node_sharded_pipelined(
     assert f % chunks == 0, (f, chunks)
     fc = f // chunks
 
-    def local(x_l, *ops):
-        pad = max(r.shape[1] for r in ops[::3])
-        out = jnp.zeros((rows_per_shard + pad, f), x_l.dtype)
+    def local(x_l, out_inv, *ops):
+        out = jnp.zeros((rows_per_shard, f), x_l.dtype)
         prec = (jax.lax.Precision.HIGHEST
                 if x_l.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
         for c in range(chunks):
             sl = slice(c * fc, (c + 1) * fc)
             xg = jax.lax.all_gather(x_l[:, sl], axis, tiled=True)
+            aggs = []
             for i in range(0, len(ops), 3):
-                ids, nb, wg = ops[i][0], ops[i + 1][0], ops[i + 2][0]
-                agg = jnp.einsum("nd,ndf->nf", wg.astype(x_l.dtype), xg[nb],
-                                 precision=prec)
-                out = out.at[ids, sl].set(agg, unique_indices=True,
-                                          indices_are_sorted=True)
-        return out[:rows_per_shard]
+                nb, wg = ops[i + 1][0], ops[i + 2][0]
+                g = xg[nb.reshape(-1)].reshape(*nb.shape, fc)
+                aggs.append(jnp.einsum("nd,ndf->nf", wg.astype(x_l.dtype),
+                                       g, precision=prec))
+            aggs.append(jnp.zeros((1, fc), x_l.dtype))
+            stripe = jnp.concatenate(aggs, axis=0)[out_inv[0]]
+            out = out.at[:, sl].set(stripe)
+        return out
 
     in_specs = (P(axis),) + (P(axis),) * len(stacked)
     fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
