@@ -819,31 +819,72 @@ def forward_trials(
 
     e = take_rows(x, arrays.pos1_src) * take_rows(x, arrays.pos1_dst)
 
-    m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
-    m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
-    src1 = arrays.e1_src ^ 1
-    coeffA, selfA = gcn_norm_coefficients(
-        src1, arrays.e1_dst, R, m1, indices_are_sorted=True,
-        plan=arrays.e1_plan,
-    )
-    coeffB, selfB = gcn_norm_coefficients(
-        arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True,
-        plan=arrays.e2_plan,
-    )
-    for i in range(cfg.depth2):
-        def branch(layer, src, coeff, selfc, plan, src_plan):
-            h = _gcn_conv_trials(layer, e, src, coeff, selfc, R, plan,
-                                 src_plan)
-            h = graph_norm(layer["gn"], h, cfg.eps)
-            if train:
-                h = drop(h, rates.dp_2wl)
-            return jax.nn.relu(h)
+    if arrays.e1_cops:
+        # paired one-gather fused path, trial-major form (see the
+        # single-trial `forward` for the derivation — gather_sum_composed
+        # flattens trailing dims, so [R, T, 2C] packs both directions of
+        # all T trials into the SAME transaction-bound S-row gather)
+        num_msg = msg_mask.shape[0]
+        C2 = cfg.channels_2wl
 
-        e = branch(params["conv2"][i], src1, coeffA, selfA,
-                   arrays.e1_plan, arrays.e1_gather_plan or None) + branch(
-            params["conv2r"][i], arrays.e2_src, coeffB, selfB,
-            arrays.e2_plan, arrays.e2_gather_plan or None,
+        def swap(v):
+            return v.reshape(-1, 2, *v.shape[1:])[:, ::-1].reshape(v.shape)
+
+        ones_pred = jnp.ones((R - num_msg,), msg_mask.dtype)
+        rm2 = jnp.concatenate([msg_mask, ones_pred]).astype(jnp.float32)
+        rm1 = swap(rm2)
+        deg1 = gather_sum_composed(
+            rm1[:, None], arrays.e1_cops[0], arrays.e1_cops[1])[:, 0] + 1.0
+        dinv1 = jax.lax.rsqrt(jnp.maximum(deg1, 1e-12))
+        dinv2 = swap(dinv1)
+        mA = (dinv1 * rm1)[:, None, None]
+        mB = swap(mA)
+        outA, outB = dinv1[:, None, None], dinv2[:, None, None]
+        selfA, selfB = (dinv1 * dinv1)[:, None, None], None
+        selfB = swap(selfA)
+        for i in range(cfg.depth2):
+            lA, lB = params["conv2"][i], params["conv2r"][i]
+            hA = jnp.einsum("rtc,tcd->rtd", e, lA["w"])
+            hB = jnp.einsum("rtc,tcd->rtd", e, lB["w"])
+            h2 = jnp.concatenate([hA * mA, swap(hB * mB)], axis=-1)
+            out = gather_sum_composed(
+                h2, arrays.e1_cops[0], arrays.e1_cops[1])
+            hA = out[..., :C2] * outA + selfA * hA + lA["b"][None]
+            hB = (swap(out[..., C2:]) * outB + selfB * hB
+                  + lB["b"][None])
+            hA = graph_norm(lA["gn"], hA, cfg.eps)
+            hB = graph_norm(lB["gn"], hB, cfg.eps)
+            if train:
+                hA = drop(hA, rates.dp_2wl)
+                hB = drop(hB, rates.dp_2wl)
+            e = jax.nn.relu(hA) + jax.nn.relu(hB)
+    else:
+        m1 = arrays.e1_mask & msg_mask[arrays.e1_src]
+        m2 = arrays.e2_mask & msg_mask[arrays.e2_src]
+        src1 = arrays.e1_src ^ 1
+        coeffA, selfA = gcn_norm_coefficients(
+            src1, arrays.e1_dst, R, m1, indices_are_sorted=True,
+            plan=arrays.e1_plan,
         )
+        coeffB, selfB = gcn_norm_coefficients(
+            arrays.e2_src, arrays.e2_dst, R, m2, indices_are_sorted=True,
+            plan=arrays.e2_plan,
+        )
+        for i in range(cfg.depth2):
+            def branch(layer, src, coeff, selfc, plan, src_plan):
+                h = _gcn_conv_trials(layer, e, src, coeff, selfc, R, plan,
+                                     src_plan)
+                h = graph_norm(layer["gn"], h, cfg.eps)
+                if train:
+                    h = drop(h, rates.dp_2wl)
+                return jax.nn.relu(h)
+
+            e = branch(params["conv2"][i], src1, coeffA, selfA,
+                       arrays.e1_plan,
+                       arrays.e1_gather_plan or None) + branch(
+                params["conv2r"][i], arrays.e2_src, coeffB, selfB,
+                arrays.e2_plan, arrays.e2_gather_plan or None,
+            )
 
     sel = take_rows(e, sel_idx)  # [B, T, C]
     paired = sel[0::2] * sel[1::2]
