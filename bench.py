@@ -363,10 +363,7 @@ def gate_twowl_scale():
         run_twowl_scale,
     )
 
-    # 64 epochs: the curve reaches ~0.92 val by then (vs 0.925 at the
-    # 96-epoch default) and the gate stays inside the driver budget even
-    # on a cold compilation cache
-    res = run_twowl_scale(ScaleTwoWLConfig(epochs=64), verbose=False)
+    res = run_twowl_scale(ScaleTwoWLConfig(), verbose=False)
     if not res["loss_decreased"]:
         raise RuntimeError(f"twowl scale DIVERGED: {json.dumps(res)}")
     res["meets_auc_0p85_gate"] = bool(res["test_auc"] >= 0.85)

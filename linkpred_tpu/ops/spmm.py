@@ -307,12 +307,14 @@ def spmm_auto(
     torch-scatter/torch-sparse play for the reference's PyG layers,
     `TwoWL/model/model.py:36-41`):
 
-    - 'pallas'   — one-hot MXU kernel, TPU and N <= ONEHOT_MAX_NODES
-                   (small-graph regime: every reference workload),
-    - 'bucketed' — degree-bucketed ELL, large graphs (builds the layout on
-                   the host; amortize by building `BucketedEll` once and
-                   calling `spmm_bucketed` directly in loops),
-    - 'ell'      — flat gather+einsum fallback (CPU / tests).
+    - 'bucketed' — degree-bucketed ELL (builds the layout on the host;
+                   amortize by building `BucketedEll` once and calling
+                   `spmm_bucketed` directly in loops) — the default for
+                   large graphs,
+    - 'ell'      — flat gather+einsum (small graphs / CPU / tests),
+    - 'pallas'   — one-hot MXU kernel, `force` only: RETIRED from auto
+                   dispatch in round 5 (loses its own regime on the
+                   current runtime — docs/KERNELS.md "Pallas verdict").
 
     `nbr`/`nbr_mask` must be host (numpy) arrays when the bucketed regime
     can be chosen (layout build reads them); jit callers inside a fixed
@@ -324,12 +326,7 @@ def spmm_auto(
     n = nbr.shape[0]
     regime = force
     if regime is None:
-        if platform == "tpu" and n <= ONEHOT_MAX_NODES:
-            regime = "pallas"
-        elif n > ONEHOT_MAX_NODES:
-            regime = "bucketed"
-        else:
-            regime = "ell"
+        regime = "bucketed" if n > ONEHOT_MAX_NODES else "ell"
     if regime == "pallas":
         from linkpred_tpu.ops.pallas_kernels import spmm_ell_auto
 
