@@ -143,6 +143,18 @@ class TestScaleCLI:
         assert '"test_auc"' in out
         assert '"ei2_cap_per_node"' in out
 
+    def test_load_edge_pairs_whitespace_and_one_based(self, tmp_path):
+        """Whitespace-separated 1-based dumps (the karate-style format)
+        parse and relabel correctly."""
+        from linkpred_tpu.data.io import load_edge_pairs
+
+        path = tmp_path / "ws.edgelist"
+        path.write_text("1 2\n2 3\n3 1\n3 1\n4 4\n")  # dup + self loop
+        lo, hi, n = load_edge_pairs(str(path))
+        assert n == 4  # ids 1..4 relabeled to 0..3
+        assert len(lo) == 3  # dup deduped, self loop dropped
+        assert (lo < hi).all()
+
     def test_scale_edges_file_real_graph(self, tmp_path, capsys):
         """`cli scale --edges-file` must replace the synthetic generator
         with a real edge dump (round-4 VERDICT item 3): arbitrary ids,
