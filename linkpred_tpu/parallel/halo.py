@@ -111,7 +111,8 @@ class HaloLayout:
     send_idx: np.ndarray  # [S, S, C] shard-local rows j sends to k
     # per bucket: (ids [S, m], nbr_local [S, m, w], wgt [S, m, w])
     stacked: tuple
-    pad_rows: int  # out-buffer padding rows beyond the block
+    pad_rows: int  # max bucket rows (diagnostic; the kernel's
+    # output assembly is the out_inv gather since round 5)
     edge_cut: int  # directed edges crossing shard blocks (diagnostic)
     hub_capacity: int = 0  # H = max hub rows owned by any one shard
     # [S, H] shard-local positions of each owner's hub rows (pad 0)

@@ -205,6 +205,7 @@ def run_twowl_scale(cfg: ScaleTwoWLConfig = ScaleTwoWLConfig(),
         rng.permutation(n_neg_pairs)[:P] for _ in range(E)
     ]).astype(np.int32)
     warm_excluded = E > cfg.chunk_epochs  # chunk 0 = warm-up execution
+    tc0 = time.time()  # per-chunk wall marker (verbose prints)
 
     val_y = jnp.asarray(data.val.y)
     node_deg = (jnp.arange(data.num_nodes, dtype=jnp.int32) if free
